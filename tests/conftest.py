@@ -1,0 +1,17 @@
+"""Test configuration.
+
+Device-engine tests run on a simulated multi-device CPU mesh so sharding
+logic is exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path; see __graft_entry__.py)."""
+
+import os
+import sys
+
+# Force CPU with 8 virtual devices BEFORE jax initializes.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
