@@ -1,0 +1,127 @@
+"""KZG10 public parameters (SRS), commitments, and aggregate openings.
+
+Mirrors the surface the reference consumes from `zksnarks::plonk::PlonkParams`
+(usage: tests/range.rs:26 `setup(k, rng)`; src/key.rs:82 `.trim`;
+src/prover.rs:133-136 `.commit`; src/prover.rs:422-452
+`.compute_aggregate_witness`; src/key.rs:320 `.verification_key()`).
+
+Commitments run through a pluggable MSM engine: the host Pippenger by default,
+the device (JAX) Pippenger when an `msm_fn` is injected — the prover injects
+the device engine (see proving/prover.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..fields.constants import R_MOD
+from ..curves import bls
+from ..rng.chacha import fr_random
+
+
+@dataclass
+class EvaluationKey:
+    """Verifier-side opening key (poly-commit `EvaluationKey`; fields g,
+    prepared_beta_h, prepared_h visible at reference
+    src/commitment_scheme.rs:51-58)."""
+    g: tuple                 # G1 generator
+    h: tuple                 # G2 generator
+    beta_h: tuple            # tau * G2
+
+
+class PlonkParams:
+    """Powers-of-tau SRS in G1 plus (h, tau*h) in G2."""
+
+    def __init__(self, powers: list, h, beta_h):
+        self.powers = powers            # [tau^i * G1] affine
+        self.h = h
+        self.beta_h = beta_h
+        self.msm_fn = None              # injected device MSM: (points, scalars) -> point
+
+    @classmethod
+    def setup(cls, k: int, rng) -> "PlonkParams":
+        """Trusted setup for max degree 2^k (tests regenerate this
+        deterministically from the seeded StdRng; draw: one Fr::random)."""
+        tau = fr_random(rng)
+        n = (1 << k) + 1
+        # fixed-base windowed generation: precompute 8-bit windows of G
+        powers = _fixed_base_powers(bls.G1_GENERATOR, tau, n)
+        h = bls.G2_GENERATOR
+        beta_h = bls.g2_mul(h, tau)
+        return cls(powers, h, beta_h)
+
+    def trim(self, degree: int) -> "PlonkParams":
+        """Truncate to `degree` (reference src/key.rs:82 trims to
+        (m+6).next_power_of_two())."""
+        if degree + 1 > len(self.powers):
+            raise ValueError(
+                f"SRS too small: need degree {degree}, have {len(self.powers) - 1}")
+        trimmed = PlonkParams(self.powers[: degree + 1], self.h, self.beta_h)
+        trimmed.msm_fn = self.msm_fn
+        return trimmed
+
+    def max_degree(self) -> int:
+        return len(self.powers) - 1
+
+    def commit(self, coeffs: list[int]):
+        """Commitment = MSM(powers[:len], coeffs)."""
+        if len(coeffs) > len(self.powers):
+            raise ValueError("polynomial degree exceeds SRS")
+        if self.msm_fn is not None:
+            return self.msm_fn(self.powers[: len(coeffs)], coeffs)
+        return bls.g1_msm(self.powers[: len(coeffs)], coeffs)
+
+    def compute_aggregate_witness(self, polys: list[list[int]], point: int,
+                                  v_challenge: int) -> list[int]:
+        """Fold polynomials by powers of v, then divide by (X - point)
+        via Ruffini synthetic division (reference src/prover.rs:422-452)."""
+        folded: list[int] = []
+        power = 1
+        for p in polys:
+            if len(p) > len(folded):
+                folded += [0] * (len(p) - len(folded))
+            for i, c in enumerate(p):
+                folded[i] = (folded[i] + c * power) % R_MOD
+            power = power * v_challenge % R_MOD
+        # synthetic division: quotient of folded / (X - point)
+        quotient = [0] * max(len(folded) - 1, 1)
+        acc = 0
+        for i in range(len(folded) - 1, 0, -1):
+            acc = (acc * point + folded[i]) % R_MOD
+            quotient[i - 1] = acc
+        return quotient
+
+    def verification_key(self) -> EvaluationKey:
+        return EvaluationKey(g=self.powers[0], h=self.h, beta_h=self.beta_h)
+
+
+def _fixed_base_powers(base, tau: int, n: int) -> list:
+    """[tau^i * base for i in 0..n) via 8-bit windowed fixed-base tables."""
+    window = 8
+    windows = (255 + window - 1) // window
+    # table[w][d] = d * 2^(8w) * base  (d in 0..256)
+    tables = []
+    cur = bls._jac_from_affine(base)
+    for _ in range(windows):
+        row = [(1, 1, 0)]
+        for d in range(1, 1 << window):
+            row.append(bls._jac_add(row[-1], cur))
+        tables.append(row)
+        for _ in range(window):
+            cur = bls._jac_double(cur)
+
+    out = []
+    scalar = 1
+    for _ in range(n):
+        acc = (1, 1, 0)
+        s = scalar
+        w = 0
+        while s:
+            d = s & 0xFF
+            if d:
+                acc = bls._jac_add(acc, tables[w][d])
+            s >>= window
+            w += 1
+        out.append(bls._jac_to_affine(acc))
+        scalar = scalar * tau % R_MOD
+    return out

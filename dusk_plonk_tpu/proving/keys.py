@@ -1,0 +1,137 @@
+"""Key compilation: circuit -> (Prover, Verifier).
+
+Behavioral port of reference src/key.rs (PlonkKey::compile_with_circuit):
+pad to n = next_pow2(m), trim SRS, iFFT 11 selector columns, build 4 sigma
+polynomials, commit 15 polynomials, precompute all 8n-coset evaluation
+tables and the coset vanishing polynomial.
+
+On TPU this is a one-time preprocessing job; the host version here is the
+oracle, the device engine accelerates the 8n tables through ops/ntt.py when
+`engine='jax'`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..fields.constants import R_MOD
+from ..fields.host import fr_batch_inv
+from ..poly.domain import Domain
+from ..composer.composer import Plonk
+from ..transcript.plonk_transcript import PlonkTranscript
+
+SELECTOR_NAMES = ("q_m", "q_l", "q_r", "q_o", "q_c", "q_4", "q_arith",
+                  "q_range", "q_logic", "q_fixed_group_add",
+                  "q_variable_group_add")
+SIGMA_NAMES = ("s_sigma_1", "s_sigma_2", "s_sigma_3", "s_sigma_4")
+
+
+def next_pow2(x: int) -> int:
+    return 1 << max(x - 1, 0).bit_length() if x > 1 else 1
+
+
+@dataclass
+class VerificationKey:
+    """Reference VerificationKey fields at src/key.rs:203-214 (n stores the
+    raw constraint count m; callers pad: src/prover/proof.rs:180)."""
+    n: int
+    n_inv: int
+    generator: int
+    generator_inv: int
+    commitments: dict  # name -> G1 affine
+
+
+@dataclass
+class ProvingKey:
+    """Reference ProvingKey at src/key.rs:293-302: per-family
+    (coefficients, 8n-coset evaluations) pairs plus the linear polynomial's
+    coset evaluations and v_h_coset_8n (we also precompute its inverse —
+    the reference inverts per-element in the quotient loop,
+    src/prover/quotient_poly.rs:111; batch inversion is strictly better)."""
+    n: int
+    domain: Domain
+    domain_8n: Domain
+    selector_polys: dict          # name -> coeff list (len n)
+    sigma_polys: list             # 4 coeff lists
+    selector_evals_8n: dict       # name -> eval list (len 8n)
+    sigma_evals_8n: list          # 4 eval lists
+    linear_evals_8n: list         # coset evals of X
+    v_h_coset_8n: list
+    v_h_coset_8n_inv: list
+
+
+def compile_circuit(params, circuit, label: bytes = b"plonk"):
+    """PlonkKey::compile_with_circuit (reference src/key.rs:63-327)."""
+    from .prover import Prover
+    from .verifier import Verifier
+
+    cs = Plonk.initialize()
+    circuit.synthesize(cs)
+
+    m = cs.m()
+    n = next_pow2(m)
+    k = n.bit_length() - 1
+    additional_n = next_pow2(m + 6)
+    # guard a latent corner where blinding degree n+2 exceeds m+6 rounding
+    trimmed = params.trim(max(additional_n, n + 8))
+    domain = Domain(k)
+
+    # selector columns, zero-padded to n
+    columns = {name: [0] * n for name in SELECTOR_NAMES}
+    for i, c in enumerate(cs.constraints):
+        columns["q_m"][i] = c.q_m
+        columns["q_l"][i] = c.q_l
+        columns["q_r"][i] = c.q_r
+        columns["q_o"][i] = c.q_o
+        columns["q_c"][i] = c.q_c
+        columns["q_4"][i] = c.q_d
+        columns["q_arith"][i] = c.q_arith
+        columns["q_range"][i] = c.q_range
+        columns["q_logic"][i] = c.q_logic
+        columns["q_fixed_group_add"][i] = c.q_fixed_group_add
+        columns["q_variable_group_add"][i] = c.q_variable_group_add
+
+    selector_polys = {name: domain.idft(col) for name, col in columns.items()}
+    sigma_polys = cs.perm.compute_sigma_polynomials(n, domain)
+
+    commitments = {}
+    for name in SELECTOR_NAMES:
+        commitments[name] = trimmed.commit(selector_polys[name])
+    for name, poly in zip(SIGMA_NAMES, sigma_polys):
+        commitments[name] = trimmed.commit(poly)
+
+    verifier_key = VerificationKey(
+        n=m,
+        n_inv=domain.size_inv,
+        generator=domain.generator,
+        generator_inv=domain.generator_inv,
+        commitments=commitments,
+    )
+
+    # 8n coset tables ("blinding makes 4n insufficient", src/key.rs:216-222)
+    x8n = next_pow2(8 * n)
+    domain_8n = Domain(x8n.bit_length() - 1)
+    selector_evals_8n = {name: domain_8n.coset_dft(poly)
+                         for name, poly in selector_polys.items()}
+    sigma_evals_8n = [domain_8n.coset_dft(p) for p in sigma_polys]
+    linear_evals_8n = domain_8n.coset_dft([0, 1])
+    v_h = domain_8n.compute_vanishing_poly_over_coset(n)
+    v_h_inv = fr_batch_inv(v_h)
+
+    prover_key = ProvingKey(
+        n=n,
+        domain=domain,
+        domain_8n=domain_8n,
+        selector_polys=selector_polys,
+        sigma_polys=sigma_polys,
+        selector_evals_8n=selector_evals_8n,
+        sigma_evals_8n=sigma_evals_8n,
+        linear_evals_8n=linear_evals_8n,
+        v_h_coset_8n=v_h,
+        v_h_coset_8n_inv=v_h_inv,
+    )
+
+    prover = Prover(label, trimmed, prover_key, verifier_key, n, m)
+    verifier = Verifier(label, verifier_key, trimmed.verification_key(),
+                        cs.public_input_indexes(), n, m)
+    return prover, verifier

@@ -1,0 +1,244 @@
+"""Proof container and verification math.
+
+Behavioral port of reference src/prover/proof.rs: 11 G1 commitments +
+16 scalar evaluations, transcript replay, barycentric PI evaluation,
+t_eval reconstruction, folded quotient commitment, linearization
+commitment, and the 2-proof batched KZG pairing check."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..fields.constants import R_MOD
+from ..fields.host import fr_batch_inv
+from ..curves import bls
+from ..composer.composer import ProofVerificationError
+from . import widgets
+
+COMMITMENT_FIELDS = (
+    "a_comm", "b_comm", "c_comm", "d_comm", "z_comm",
+    "t_low_comm", "t_mid_comm", "t_high_comm", "t_4_comm",
+    "w_z_chall_comm", "w_z_chall_w_comm",
+)
+
+EVAL_FIELDS = (
+    "a_eval", "b_eval", "c_eval", "d_eval",
+    "a_next_eval", "b_next_eval", "d_next_eval",
+    "s_sigma_1_eval", "s_sigma_2_eval", "s_sigma_3_eval",
+    "q_arith_eval", "q_c_eval", "q_l_eval", "q_r_eval",
+    "r_poly_eval", "perm_eval",
+)
+
+
+@dataclass
+class Proof:
+    a_comm: tuple
+    b_comm: tuple
+    c_comm: tuple
+    d_comm: tuple
+    z_comm: tuple
+    t_low_comm: tuple
+    t_mid_comm: tuple
+    t_high_comm: tuple
+    t_4_comm: tuple
+    w_z_chall_comm: tuple
+    w_z_chall_w_comm: tuple
+    evaluations: dict
+
+    def verify(self, verifier_key, transcript, opening_key, pub_inputs):
+        e = self.evaluations
+
+        for label, comm in ((b"a_w", self.a_comm), (b"b_w", self.b_comm),
+                            (b"c_w", self.c_comm), (b"d_w", self.d_comm)):
+            transcript.append_commitment(label, comm)
+
+        beta = transcript.challenge_scalar(b"beta")
+        transcript.append_scalar(b"beta", beta)
+        gamma = transcript.challenge_scalar(b"gamma")
+
+        transcript.append_commitment(b"z", self.z_comm)
+
+        alpha = transcript.challenge_scalar(b"alpha")
+        range_sep = transcript.challenge_scalar(b"range separation challenge")
+        logic_sep = transcript.challenge_scalar(b"logic separation challenge")
+        fixed_base_sep = transcript.challenge_scalar(
+            b"fixed base separation challenge")
+        var_base_sep = transcript.challenge_scalar(
+            b"variable base separation challenge")
+
+        for label, comm in ((b"t_low", self.t_low_comm),
+                            (b"t_mid", self.t_mid_comm),
+                            (b"t_high", self.t_high_comm),
+                            (b"t_4", self.t_4_comm)):
+            transcript.append_commitment(label, comm)
+
+        z_challenge = transcript.challenge_scalar(b"z_challenge")
+
+        # next_power_of_two of the raw constraint count (proof.rs:180)
+        m = verifier_key.n
+        n = 1 << max(m - 1, 0).bit_length() if m > 1 else 1
+
+        z_h_eval = (pow(z_challenge, n, R_MOD) - 1) % R_MOD
+        l1_eval = z_h_eval * pow(n * (z_challenge - 1) % R_MOD, -1,
+                                 R_MOD) % R_MOD
+
+        t_eval = self._compute_quotient_evaluation(
+            n, verifier_key, pub_inputs, alpha, beta, gamma, z_challenge,
+            z_h_eval, l1_eval)
+
+        t_comm = self._compute_quotient_commitment(z_challenge, n)
+
+        for label, key in (
+                (b"a_eval", "a_eval"), (b"b_eval", "b_eval"),
+                (b"c_eval", "c_eval"), (b"d_eval", "d_eval"),
+                (b"a_next_eval", "a_next_eval"),
+                (b"b_next_eval", "b_next_eval"),
+                (b"d_next_eval", "d_next_eval"),
+                (b"s_sigma_1_eval", "s_sigma_1_eval"),
+                (b"s_sigma_2_eval", "s_sigma_2_eval"),
+                (b"s_sigma_3_eval", "s_sigma_3_eval"),
+                (b"q_arith_eval", "q_arith_eval"),
+                (b"q_c_eval", "q_c_eval"),
+                (b"q_l_eval", "q_l_eval"), (b"q_r_eval", "q_r_eval"),
+                (b"perm_eval", "perm_eval")):
+            transcript.append_scalar(label, e[key])
+        transcript.append_scalar(b"t_eval", t_eval)
+        transcript.append_scalar(b"r_eval", e["r_poly_eval"])
+
+        challenges = dict(alpha=alpha, beta=beta, gamma=gamma,
+                          range_sep=range_sep, logic_sep=logic_sep,
+                          fixed_base_sep=fixed_base_sep,
+                          var_base_sep=var_base_sep)
+        r_comm = self._compute_linearization_commitment(
+            challenges, z_challenge, l1_eval, verifier_key)
+
+        # aggregate proof at z (9 parts, order proof.rs:320-342)
+        agg_evals = [t_eval, e["r_poly_eval"], e["a_eval"], e["b_eval"],
+                     e["c_eval"], e["d_eval"], e["s_sigma_1_eval"],
+                     e["s_sigma_2_eval"], e["s_sigma_3_eval"]]
+        agg_comms = [t_comm, r_comm, self.a_comm, self.b_comm, self.c_comm,
+                     self.d_comm,
+                     verifier_key.commitments["s_sigma_1"],
+                     verifier_key.commitments["s_sigma_2"],
+                     verifier_key.commitments["s_sigma_3"]]
+        flat_a = _flatten_aggregate(transcript, agg_evals, agg_comms,
+                                    self.w_z_chall_comm)
+
+        # shifted aggregate proof at z*omega (4 parts)
+        sh_evals = [e["perm_eval"], e["a_next_eval"], e["b_next_eval"],
+                    e["d_next_eval"]]
+        sh_comms = [self.z_comm, self.a_comm, self.b_comm, self.d_comm]
+        flat_b = _flatten_aggregate(transcript, sh_evals, sh_comms,
+                                    self.w_z_chall_w_comm)
+
+        transcript.append_commitment(b"w_z", self.w_z_chall_comm)
+        transcript.append_commitment(b"w_z_w", self.w_z_chall_w_comm)
+
+        ok = _batch_check(
+            opening_key,
+            [z_challenge, z_challenge * verifier_key.generator % R_MOD],
+            [flat_a, flat_b],
+            transcript)
+        if not ok:
+            raise ProofVerificationError("pairing check failed")
+
+    # ------------------------------------------------------------------
+
+    def _compute_quotient_evaluation(self, n, vk, pub_inputs, alpha, beta,
+                                     gamma, z_challenge, z_h_eval, l1_eval):
+        e = self.evaluations
+        pi_eval = _barycentric_eval(pub_inputs, z_challenge, n,
+                                    vk.n_inv, vk.generator_inv)
+        alpha_sq = alpha * alpha % R_MOD
+        a = (e["r_poly_eval"] + pi_eval) % R_MOD
+        b_0 = (e["a_eval"] + beta * e["s_sigma_1_eval"] + gamma) % R_MOD
+        b_1 = (e["b_eval"] + beta * e["s_sigma_2_eval"] + gamma) % R_MOD
+        b_2 = (e["c_eval"] + beta * e["s_sigma_3_eval"] + gamma) % R_MOD
+        b_3 = (e["d_eval"] + gamma) % R_MOD * e["perm_eval"] % R_MOD \
+            * alpha % R_MOD
+        b = b_0 * b_1 % R_MOD * b_2 % R_MOD * b_3 % R_MOD
+        c = l1_eval * alpha_sq % R_MOD
+        return (a - b - c) % R_MOD * pow(z_h_eval, -1, R_MOD) % R_MOD
+
+    def _compute_quotient_commitment(self, z_challenge, n):
+        z_n = pow(z_challenge, n, R_MOD)
+        z_two_n = pow(z_challenge, 2 * n, R_MOD)
+        z_three_n = pow(z_challenge, 3 * n, R_MOD)
+        return bls.g1_msm(
+            [self.t_low_comm, self.t_mid_comm, self.t_high_comm,
+             self.t_4_comm],
+            [1, z_n, z_two_n, z_three_n])
+
+    def _compute_linearization_commitment(self, challenges, z_challenge,
+                                          l1_eval, vk):
+        scalars = widgets.linearization_scalars(
+            self.evaluations, challenges, l1_eval, z_challenge)
+        points = []
+        weights = []
+        for key, s in scalars:
+            if key == "z_poly":
+                points.append(self.z_comm)
+            elif key == "s_sigma_4":
+                points.append(vk.commitments["s_sigma_4"])
+            else:
+                points.append(vk.commitments[key])
+            weights.append(s)
+        return bls.g1_msm(points, weights)
+
+
+def _barycentric_eval(evaluations, point, n, n_inv, generator_inv):
+    """PI(z) via the barycentric formula with batch inversion
+    (reference src/prover/proof.rs:540-591)."""
+    numerator = (pow(point, n, R_MOD) - 1) % R_MOD * n_inv % R_MOD
+    nz = [(i, ev) for i, ev in enumerate(evaluations) if ev != 0]
+    denoms = [(pow(generator_inv, i, R_MOD) * point - 1) % R_MOD
+              for i, _ in nz]
+    denoms = fr_batch_inv(denoms)
+    acc = 0
+    for (i, ev), d in zip(nz, denoms):
+        acc = (acc + ev * d) % R_MOD
+    return acc * numerator % R_MOD
+
+
+def _flatten_aggregate(transcript, evals, comms, witness_comm):
+    """AggregateProof::flatten (reference src/commitment_scheme.rs:107-153):
+    fold evaluations and commitments by powers of a fresh v_challenge."""
+    v = transcript.challenge_scalar(b"v_challenge")
+    powers = [1]
+    for _ in range(len(evals) - 1):
+        powers.append(powers[-1] * v % R_MOD)
+    flat_comm = bls.g1_msm(comms, powers)
+    flat_eval = sum(e * p % R_MOD for e, p in zip(evals, powers)) % R_MOD
+    return dict(commitment_to_witness=witness_comm,
+                evaluated_point=flat_eval,
+                commitment_to_polynomial=flat_comm)
+
+
+def _batch_check(opening_key, points, proofs, transcript) -> bool:
+    """2-proof batched KZG check ending in one 2-pair Miller loop
+    (reference src/commitment_scheme.rs:24-66)."""
+    from ..curves.pairing import multi_pairing_is_one
+
+    u = transcript.challenge_scalar(b"batch")
+    powers = [1]
+    for _ in range(len(proofs) - 1):
+        powers.append(powers[-1] * u % R_MOD)
+
+    total_c = None
+    total_w = None
+    g_multiplier = 0
+    for proof, u_pow, point in zip(proofs, powers, points):
+        c = proof["commitment_to_polynomial"]
+        w = proof["commitment_to_witness"]
+        c = bls.g1_add(c, bls.g1_mul(w, point))
+        g_multiplier = (g_multiplier
+                        + u_pow * proof["evaluated_point"]) % R_MOD
+        total_c = bls.g1_add(total_c, bls.g1_mul(c, u_pow))
+        total_w = bls.g1_add(total_w, bls.g1_mul(w, u_pow))
+    total_c = bls.g1_add(total_c,
+                         bls.g1_neg(bls.g1_mul(opening_key.g, g_multiplier)))
+
+    return multi_pairing_is_one([
+        (bls.g1_neg(total_w), opening_key.beta_h),
+        (total_c, opening_key.h),
+    ])
