@@ -43,7 +43,10 @@ class PlonkParams:
         """Trusted setup for max degree 2^k (tests regenerate this
         deterministically from the seeded StdRng; draw: one Fr::random)."""
         tau = fr_random(rng)
-        n = (1 << k) + 1
+        # 2^k plus the max blinding degree (6): blinded wires reach degree
+        # n+2 and the t_4 quotient chunk n+5 even when the circuit occupies
+        # the whole domain (upstream dusk-plonk's EXTRA_BLINDING_DEGREE).
+        n = (1 << k) + 7
         # fixed-base windowed generation: precompute 8-bit windows of G
         powers = _fixed_base_powers(bls.G1_GENERATOR, tau, n)
         h = bls.G2_GENERATOR
@@ -56,7 +59,9 @@ class PlonkParams:
         if degree + 1 > len(self.powers):
             raise ValueError(
                 f"SRS too small: need degree {degree}, have {len(self.powers) - 1}")
-        trimmed = PlonkParams(self.powers[: degree + 1], self.h, self.beta_h)
+        trimmed = PlonkParams(
+            self.powers[: min(degree + 7, len(self.powers))],
+            self.h, self.beta_h)
         trimmed.msm_fn = self.msm_fn
         return trimmed
 

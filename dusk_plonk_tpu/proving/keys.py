@@ -72,8 +72,7 @@ def compile_circuit(params, circuit, label: bytes = b"plonk"):
     n = next_pow2(m)
     k = n.bit_length() - 1
     additional_n = next_pow2(m + 6)
-    # guard a latent corner where blinding degree n+2 exceeds m+6 rounding
-    trimmed = params.trim(max(additional_n, n + 8))
+    trimmed = params.trim(additional_n)
     domain = Domain(k)
 
     # selector columns, zero-padded to n
