@@ -1,0 +1,300 @@
+"""Device (JAX) fixed-limb Montgomery field arithmetic.
+
+TPU-first design (not a port): the reference's 4x64 Montgomery limbs
+(src/lib.rs:583-588) assume 64x64->128 hardware multiply, which TPUs lack.
+Here a field element is L 16-bit limbs stored in uint32 lanes:
+
+* 16x16 -> 32-bit products are exact in native uint32 VPU multiplies;
+* schoolbook columns accumulate lazily (bounded by ~2^22, far below 2^32),
+  so carry chains run once per multiply, not once per partial product;
+* everything is batched: arrays are (..., L) and all ops vectorize over the
+  leading axes, mapping onto the 8x128 VPU lanes.
+
+Fr uses L=16 (256 bits, R=2^256 — same R as the reference, so Montgomery
+values interop bit-for-bit); Fq uses L=24 (384 bits, R=2^384).
+
+The pure-Python host engine (fields/host.py) is the differential oracle;
+see tests/test_device_fr.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+MASK16 = jnp.uint32(0xFFFF)
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Static parameters of one field's limb representation."""
+    name: str
+    modulus: int
+    limbs: int
+
+    @property
+    def bits(self) -> int:
+        return self.limbs * 16
+
+    @property
+    def mont_r(self) -> int:
+        return (1 << self.bits) % self.modulus
+
+    @property
+    def mont_r2(self) -> int:
+        return pow(self.mont_r, 2, self.modulus)
+
+    @property
+    def n0inv(self) -> int:
+        """-modulus^-1 mod 2^16 (per-word Montgomery constant)."""
+        return (-pow(self.modulus, -1, 1 << 16)) % (1 << 16)
+
+
+def _int_to_limbs(spec: FieldSpec, x: int) -> np.ndarray:
+    return np.frombuffer(
+        int(x).to_bytes(spec.limbs * 2, "little"), dtype="<u2"
+    ).astype(np.uint32)
+
+
+class LimbField:
+    """JAX ops for one field; all methods are jit-safe and batched."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self.L = spec.limbs
+        self.mod_limbs = jnp.asarray(_int_to_limbs(spec, spec.modulus))
+        self.r2 = jnp.asarray(_int_to_limbs(spec, spec.mont_r2))
+        self.one_mont = jnp.asarray(_int_to_limbs(spec, spec.mont_r))
+        self.zero = jnp.zeros(self.L, jnp.uint32)
+        self.n0inv = jnp.uint32(spec.n0inv)
+        # -modulus^-1 mod 2^(16L), full width (separated Montgomery reduction)
+        nprime = (-pow(spec.modulus, -1, 1 << spec.bits)) % (1 << spec.bits)
+        self.nprime_limbs = jnp.asarray(_int_to_limbs(spec, nprime))
+        # jitted entry point for host-boundary conversions (eager ops on the
+        # axon TPU backend trigger per-op remote compiles — never go eager)
+        self._jit_mul = jax.jit(self.mul)
+
+    # -- host <-> device packing ------------------------------------------------
+
+    def pack(self, values, to_mont: bool = True) -> jax.Array:
+        """Python ints -> (N, L) uint32 limb array (Montgomery by default)."""
+        spec = self.spec
+        buf = b"".join(int(v).to_bytes(spec.limbs * 2, "little")
+                       for v in values)
+        arr = np.frombuffer(buf, dtype="<u2").reshape(
+            len(values), spec.limbs).astype(np.uint32)
+        out = jnp.asarray(arr)
+        if to_mont:
+            out = self._jit_mul(out, jnp.broadcast_to(self.r2, out.shape))
+        return out
+
+    def pack_scalar(self, value: int, to_mont: bool = True) -> jax.Array:
+        return self.pack([value], to_mont)[0]
+
+    def unpack(self, arr, from_mont: bool = True) -> list[int]:
+        """(N, L) limb array -> list of canonical Python ints."""
+        if from_mont:
+            one = jnp.zeros_like(arr).at[..., 0].set(1)
+            arr = self._jit_mul(arr, one)
+        host = np.asarray(jax.device_get(arr)).astype("<u2")
+        flat = host.reshape(-1, self.L)
+        return [int.from_bytes(row.tobytes(), "little") for row in flat]
+
+    # -- core arithmetic -----------------------------------------------------------
+
+    def _sub_borrow(self, a, b):
+        """Limbwise a - b with borrow chain; returns (diff, borrow_out).
+        Inputs must be carried (< 2^16 per limb). A wrapped uint32 limb has
+        its high bits set, so (v >> 16) & 1 is exactly the borrow."""
+        b = jnp.broadcast_to(b, a.shape)
+        outs = []
+        borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
+        for j in range(a.shape[-1]):
+            v = a[..., j] - b[..., j] - borrow
+            outs.append(v & MASK16)
+            borrow = (v >> 16) & jnp.uint32(1)
+        return jnp.stack(outs, axis=-1), borrow.astype(bool)
+
+    def _add_carry(self, a, b):
+        """Limbwise a + b with full carry (inputs carried; drops overflow
+        beyond the top limb, which callers guarantee is zero)."""
+        return self._carry(a + jnp.broadcast_to(b, a.shape))
+
+    def _cond_sub_mod(self, a):
+        """a - modulus if a >= modulus (expects a < 2*modulus, carried)."""
+        diff, borrow = self._sub_borrow(a, self.mod_limbs)
+        return jnp.where(borrow[..., None], a, diff)
+
+    def _carry(self, t):
+        """Full carry propagation of lazy (..., K) columns into 16-bit limbs;
+        assumes the true value < 2^(16K)."""
+        K = t.shape[-1]
+        outs = []
+        carry = jnp.zeros(t.shape[:-1], jnp.uint32)
+        for j in range(K):
+            v = t[..., j] + carry
+            outs.append(v & MASK16)
+            carry = v >> 16
+        return jnp.stack(outs, axis=-1)
+
+    def add(self, a, b):
+        a, b = self._bc(a, b)
+        s = self._carry(a + b)  # lazy sum < 2^17 per column
+        return self._cond_sub_mod(s)
+
+    def sub(self, a, b):
+        a, b = self._bc(a, b)
+        d, borrow = self._sub_borrow(a, b)
+        wrapped = self._add_carry(d, self.mod_limbs)
+        return jnp.where(borrow[..., None], wrapped, d)
+
+    def neg(self, a):
+        z = jnp.zeros_like(a)
+        is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+        n, _ = self._sub_borrow(
+            jnp.broadcast_to(self.mod_limbs, a.shape), a)
+        return jnp.where(is_zero, z, n)
+
+    @staticmethod
+    def _bc(a, b):
+        a = jnp.asarray(a, jnp.uint32)
+        b = jnp.asarray(b, jnp.uint32)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        return jnp.broadcast_to(a, shape), jnp.broadcast_to(b, shape)
+
+    @lru_cache(maxsize=None)
+    def _diag_selectors(self, out_cols: int):
+        """One-hot anti-diagonal scatter matrices: S[i*L+j, k] = 1 where
+        i+j == k (lo half) / i+j+1 == k (hi half), flattened so the column
+        accumulation becomes a single (batch, L*L) x (L*L, out_cols) integer
+        matmul — one fused op instead of L scatter/pad chains.  On TPU this
+        is a dense VPU contraction; a Pallas kernel can specialize it later."""
+        L = self.L
+        s_lo = np.zeros((L * L, out_cols), np.uint32)
+        s_hi = np.zeros((L * L, out_cols), np.uint32)
+        for i in range(L):
+            for j in range(L):
+                if i + j < out_cols:
+                    s_lo[i * L + j, i + j] = 1
+                if i + j + 1 < out_cols:
+                    s_hi[i * L + j, i + j + 1] = 1
+        # cache as NUMPY: a jnp array materialized inside a jit trace would
+        # be a leaked tracer on reuse from the cache
+        return s_lo, s_hi
+
+    def _product_columns(self, a, b, out_cols: int, tri: bool = False):
+        """Lazy anti-diagonal column sums of the schoolbook product a*b:
+        cols[k] = sum_{i+j=k} lo(a_i b_j) + sum_{i+j=k-1} hi(a_i b_j),
+        truncated to `out_cols` columns.  Column sums stay < 2^21, far
+        below the uint32 ceiling.  `tri` only affects which products are
+        *used* (the selector zeroes i+j >= out_cols), correctness is
+        unchanged."""
+        L = self.L
+        p = a[..., :, None] * b[..., None, :]           # (..., L, L) exact
+        lo = (p & MASK16).reshape(p.shape[:-2] + (L * L,))
+        hi = (p >> 16).reshape(p.shape[:-2] + (L * L,))
+        s_lo, s_hi = self._diag_selectors(out_cols)
+        return (jax.lax.dot_general(
+                    lo, s_lo, (((lo.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.uint32)
+                + jax.lax.dot_general(
+                    hi, s_hi, (((hi.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.uint32))
+
+    def mul(self, a, b):
+        """Batched Montgomery multiplication, separated-operand form:
+            T = a*b;  m = (T mod R) * N' mod R;  out = (T + m*N) / R
+        (R = 2^(16L), N' = -N^-1 mod R).  ~2.5 L^2 16-bit products vs CIOS's
+        2 L^2, but with NO per-word sequential dependency — the three
+        products are fully parallel pad/sum trees and only the three carry
+        chains (cheap elementwise) are sequential.  TPU-first tradeoff."""
+        L = self.L
+        a, b = self._bc(a, b)
+
+        t = self._carry(self._product_columns(a, b, 2 * L + 1))  # exact 2L+1 limbs
+        m = self._carry(self._product_columns(
+            t[..., :L], jnp.broadcast_to(self.nprime_limbs, a.shape), L,
+            tri=True))                                            # exact L limbs
+        mn = self._product_columns(
+            m, jnp.broadcast_to(self.mod_limbs, a.shape), 2 * L + 1)
+        full = self._carry(t + mn)
+        # (T + mN) / R < 2N < 2^(16L): high limbs L..2L-1, column 2L is 0
+        return self._cond_sub_mod(full[..., L:2 * L])
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def pow_const(self, a, exponent: int):
+        """a^e for a Python-int exponent.  Small exponents unroll statically;
+        large ones run as a lax.scan over the bit string so the compiled
+        graph stays O(1) in the exponent size."""
+        e = int(exponent)
+        if e == 0:
+            return jnp.broadcast_to(self.one_mont, a.shape)
+        if e.bit_length() <= 8:
+            result = None
+            base = a
+            while e:
+                if e & 1:
+                    result = base if result is None else self.mul(result, base)
+                e >>= 1
+                if e:
+                    base = self.mul(base, base)
+            return result
+        bits = jnp.asarray([int(c) for c in bin(e)[2:]], jnp.uint32)
+
+        def body(acc, bit):
+            acc = self.mul(acc, acc)
+            acc = jnp.where(bit == 1, self.mul(acc, a), acc)
+            return acc, None
+
+        # first bit is always 1: start from a
+        acc, _ = jax.lax.scan(body, a, bits[1:])
+        return acc
+
+    def inv(self, a):
+        """Fermat inverse a^(p-2) (use batch_inv for arrays)."""
+        return self.pow_const(a, self.spec.modulus - 2)
+
+    def batch_inv(self, a):
+        """Montgomery's trick over the leading axis: 1 Fermat inverse +
+        3N multiplications (reference does per-element inversion in the
+        quotient loop, src/prover/quotient_poly.rs:111 — this is the
+        TPU-friendly replacement). Zero entries map to zero."""
+        is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+        safe = jnp.where(is_zero, self.one_mont, a)
+        prefix = jax.lax.associative_scan(self.mul, safe, axis=0)
+        suffix = jax.lax.associative_scan(self.mul, safe, axis=0,
+                                          reverse=True)
+        total_inv = self.inv(prefix[-1])
+        one = jnp.broadcast_to(self.one_mont, safe[:1].shape)
+        prefix_excl = jnp.concatenate([one, prefix[:-1]], axis=0)
+        suffix_excl = jnp.concatenate([suffix[1:], one], axis=0)
+        out = self.mul(self.mul(prefix_excl, suffix_excl), total_inv)
+        return jnp.where(is_zero, jnp.zeros_like(a), out)
+
+    def select(self, cond, a, b):
+        """Elementwise select: cond (...,) bool -> a or b."""
+        return jnp.where(cond[..., None], a, b)
+
+
+FR_SPEC = FieldSpec(
+    name="fr", limbs=16,
+    modulus=0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001)
+FQ_SPEC = FieldSpec(
+    name="fq", limbs=24,
+    modulus=0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB)
+
+
+@lru_cache(maxsize=None)
+def fr_field() -> LimbField:
+    return LimbField(FR_SPEC)
+
+
+@lru_cache(maxsize=None)
+def fq_field() -> LimbField:
+    return LimbField(FQ_SPEC)

@@ -7,8 +7,10 @@ multi-chip path; see __graft_entry__.py)."""
 import os
 import sys
 
-# Force CPU with 8 virtual devices BEFORE jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices BEFORE jax initializes (the environment
+# presets JAX_PLATFORMS=axon for the real TPU; tests run on the simulated
+# mesh, bench.py uses the TPU).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
