@@ -1,0 +1,135 @@
+"""Device G1 point arithmetic (BLS12-381, y^2 = x^3 + 4) over Fq limbs.
+
+TPU-first choice: COMPLETE projective addition (Renes-Costello-Batina 2015,
+Algorithm 7 for a=0) — a single branch-free formula that is correct for
+P+Q, P+P, P+(-P), P+O and O+O alike.  On a SIMD machine this beats the
+reference's Jacobian add-with-branches (host oracle curves/bls.py) because
+every lane executes the same instruction stream; it also makes EC addition a
+clean associative combiner for jax.lax.associative_scan / segmented scans,
+which is what the Pippenger MSM (ops/msm.py) is built on.
+
+Points are pytrees (X, Y, Z) of (..., 24) uint32 Montgomery limb arrays.
+Identity = (0, 1, 0).  12 Fq muls + 2 mul-by-b3 per addition.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..fields.constants import Q_MOD
+from .limb import fq_field
+
+B3 = 12  # 3*b for b=4
+
+
+class DeviceG1:
+    def __init__(self):
+        self.F = fq_field()
+        F = self.F
+        self.b3 = F.pack_scalar(B3)
+        self.identity = (F.pack_scalar(0), F.pack_scalar(1), F.pack_scalar(0))
+
+    # -- host <-> device ---------------------------------------------------------
+
+    def pack_points(self, affine_points):
+        """[(x, y) | None] -> ((N,24),(N,24),(N,24)) projective Montgomery."""
+        xs, ys, zs = [], [], []
+        for p in affine_points:
+            if p is None:
+                xs.append(0); ys.append(1); zs.append(0)
+            else:
+                xs.append(p[0]); ys.append(p[1]); zs.append(1)
+        F = self.F
+        return (F.pack(xs), F.pack(ys), F.pack(zs))
+
+    def unpack_points(self, pts):
+        """Projective device points -> [(x, y) | None] affine host points."""
+        F = self.F
+        xs = F.unpack(pts[0])
+        ys = F.unpack(pts[1])
+        zs = F.unpack(pts[2])
+        out = []
+        for x, y, z in zip(xs, ys, zs):
+            if z == 0:
+                out.append(None)
+            else:
+                zi = pow(z, -1, Q_MOD)
+                out.append((x * zi % Q_MOD, y * zi % Q_MOD))
+        return out
+
+    # -- complete addition (RCB15 alg. 7, a=0) --------------------------------------
+
+    def add(self, p, q):
+        F = self.F
+        x1, y1, z1 = p
+        x2, y2, z2 = q
+        b3 = self.b3
+
+        t0 = F.mul(x1, x2)
+        t1 = F.mul(y1, y2)
+        t2 = F.mul(z1, z2)
+        t3 = F.mul(F.add(x1, y1), F.add(x2, y2))
+        t3 = F.sub(t3, F.add(t0, t1))              # x1y2 + x2y1
+        t4 = F.mul(F.add(y1, z1), F.add(y2, z2))
+        t4 = F.sub(t4, F.add(t1, t2))              # y1z2 + y2z1
+        x3 = F.mul(F.add(x1, z1), F.add(x2, z2))
+        y3 = F.sub(x3, F.add(t0, t2))              # x1z2 + x2z1
+        x3 = F.add(t0, t0)
+        t0 = F.add(x3, t0)                         # 3 x1x2
+        t2 = F.mul(b3, t2)                         # b3 z1z2
+        z3 = F.add(t1, t2)
+        t1 = F.sub(t1, t2)
+        y3 = F.mul(b3, y3)                         # b3 (x1z2 + x2z1)
+        x3 = F.mul(t4, y3)
+        t2 = F.mul(t3, t1)
+        x3 = F.sub(t2, x3)
+        y3 = F.mul(y3, t0)
+        t1 = F.mul(t1, z3)
+        y3 = F.add(t1, y3)
+        t0 = F.mul(t0, t3)
+        z3 = F.mul(z3, t4)
+        z3 = F.add(z3, t0)
+        return (x3, y3, z3)
+
+    def double(self, p):
+        return self.add(p, p)
+
+    def neg(self, p):
+        x, y, z = p
+        return (x, self.F.neg(y), z)
+
+    def select(self, cond, p, q):
+        """cond (...,) bool -> p or q, per lane."""
+        F = self.F
+        return tuple(F.select(cond, a, b) for a, b in zip(p, q))
+
+    def broadcast_identity(self, shape_prefix):
+        return tuple(jnp.broadcast_to(c, shape_prefix + (self.F.L,))
+                     for c in self.identity)
+
+    def tree_reduce(self, pts):
+        """Sum points along axis 0 by halving (log-depth)."""
+        n = pts[0].shape[0]
+        while n > 1:
+            half = n // 2
+            even = tuple(c[:half] for c in pts)
+            odd = tuple(c[half:2 * half] for c in pts)
+            s = self.add(even, odd)
+            if n % 2:
+                s = tuple(jnp.concatenate([a, c[2 * half:n]], axis=0)
+                          for a, c in zip(s, pts))
+                n = half + 1
+            else:
+                n = half
+            pts = s
+        return tuple(c[0] for c in pts)
+
+
+_g1 = None
+
+
+def device_g1() -> DeviceG1:
+    global _g1
+    if _g1 is None:
+        _g1 = DeviceG1()
+    return _g1

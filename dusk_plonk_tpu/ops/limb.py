@@ -106,18 +106,39 @@ class LimbField:
 
     # -- core arithmetic -----------------------------------------------------------
 
+    @staticmethod
+    def _shift_cols(x, d):
+        """Shift limb columns up by d (toward higher significance),
+        zero-filling: out[..., j] = x[..., j-d]."""
+        pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
+        return jnp.concatenate([pad, x[..., :-d]], axis=-1)
+
+    def _ks(self, s):
+        """Kogge-Stone carry resolution: s (..., K) with every column
+        < 2^17 (a sum of one 16-bit limb and a small addend).  Returns
+        (limbs, carry_out).  Log-depth instead of a K-step ripple — the
+        ripple chains dominated both XLA compile time and the critical
+        path on the VPU."""
+        K = s.shape[-1]
+        g = (s >> 16).astype(jnp.uint32)                 # carry generate, 0/1
+        p = ((s & MASK16) == MASK16).astype(jnp.uint32)  # carry propagate
+        d = 1
+        while d < K:
+            g = g | (p & self._shift_cols(g, d))
+            p = p & self._shift_cols(p, d)
+            d *= 2
+        carry_in = self._shift_cols(g, 1)
+        out = (s + carry_in) & MASK16
+        return out, g[..., -1].astype(bool)
+
     def _sub_borrow(self, a, b):
-        """Limbwise a - b with borrow chain; returns (diff, borrow_out).
-        Inputs must be carried (< 2^16 per limb). A wrapped uint32 limb has
-        its high bits set, so (v >> 16) & 1 is exactly the borrow."""
+        """Limbwise a - b via a + ~b + 1 with Kogge-Stone carries; returns
+        (diff, borrow_out).  Inputs must be carried (< 2^16 per limb)."""
         b = jnp.broadcast_to(b, a.shape)
-        outs = []
-        borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
-        for j in range(a.shape[-1]):
-            v = a[..., j] - b[..., j] - borrow
-            outs.append(v & MASK16)
-            borrow = (v >> 16) & jnp.uint32(1)
-        return jnp.stack(outs, axis=-1), borrow.astype(bool)
+        one0 = jnp.zeros(a.shape[-1], jnp.uint32).at[0].set(1)
+        s = a + (MASK16 ^ b) + one0
+        diff, carry_out = self._ks(s)
+        return diff, jnp.logical_not(carry_out)
 
     def _add_carry(self, a, b):
         """Limbwise a + b with full carry (inputs carried; drops overflow
@@ -130,16 +151,14 @@ class LimbField:
         return jnp.where(borrow[..., None], a, diff)
 
     def _carry(self, t):
-        """Full carry propagation of lazy (..., K) columns into 16-bit limbs;
-        assumes the true value < 2^(16K)."""
-        K = t.shape[-1]
-        outs = []
-        carry = jnp.zeros(t.shape[:-1], jnp.uint32)
-        for j in range(K):
-            v = t[..., j] + carry
-            outs.append(v & MASK16)
-            carry = v >> 16
-        return jnp.stack(outs, axis=-1)
+        """Full carry propagation of lazy (..., K) columns (each < 2^22)
+        into 16-bit limbs, mod 2^(16K).  Two-level: fold the high halves one
+        column up (still one carry bit per position), then Kogge-Stone."""
+        lo = t & MASK16
+        hi = t >> 16                       # < 2^6 per column
+        s = lo + self._shift_cols(hi, 1)   # each column < 2^16 + 2^6
+        out, _ = self._ks(s)
+        return out
 
     def add(self, a, b):
         a, b = self._bc(a, b)
