@@ -1,0 +1,201 @@
+"""Device Pippenger multi-scalar multiplication (the KZG commit engine).
+
+TPU-first reformulation of bucket accumulation (the data-dependent
+scatter-add at the heart of Pippenger, which SIMD hardware cannot do
+directly — SURVEY.md §7 hard part #3):
+
+  1. 8-bit window digits are sliced from the scalar limbs: (W=32, N).
+  2. Per window, points are SORTED by digit (XLA sort is fast on TPU);
+     equal digits become contiguous runs.
+  3. An inclusive prefix scan of EC additions runs CHUNKED: the sorted
+     sequence is reshaped (chunk_len, num_chunks) and lax.scan runs
+     chunk_len sequential steps over num_chunks*window parallel lanes —
+     O(N) EC adds with full VPU occupancy (the complete-addition formula
+     makes the combiner branch-free).
+  4. Bucket sums are prefix differences at run boundaries, located with
+     searchsorted (no scatters anywhere).
+  5. The weighted bucket reduction sum(d * B_d) uses the classic suffix
+     trick: S_d = sum_{e>=d} B_e (reversed associative scan), total =
+     sum_{d>=1} S_d (tree reduce) — log-depth.
+  6. Windows combine with c doublings per step inside one fori_loop.
+
+Reference equivalents: `PlonkParams::commit` / `msm_curve_addition`
+(usage reference src/prover.rs:133-136, src/prover/proof.rs:507).
+Differentially tested against the host Pippenger (curves/bls.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .limb import fr_field, fq_field
+from .ec import device_g1
+
+WINDOW_BITS = 8
+NUM_WINDOWS = 32  # 256 / 8
+
+
+class MsmPlan:
+    """Compiled MSM for a fixed point-count N (points are a runtime input,
+    so one plan serves every polynomial committed against any SRS slice of
+    the same padded length)."""
+
+    def __init__(self, n: int, window_group: int | None = None):
+        self.n = n
+        self.G1 = device_g1()
+        self.Fq = fq_field()
+        self.Fr = fr_field()
+        if window_group is None:
+            # cap gathered-point memory at ~2^22 point-slots per group
+            window_group = max(1, min(NUM_WINDOWS, (1 << 22) // max(n, 1)))
+        while NUM_WINDOWS % window_group:
+            window_group -= 1
+        self.wg = window_group
+        self.chunk_len = min(512, n)
+        assert n % self.chunk_len == 0, "n must be divisible by chunk_len"
+        self._group_fn = jax.jit(self._window_group_totals)
+        self._combine_fn = jax.jit(self._combine_windows)
+
+    # -- digit extraction ----------------------------------------------------
+
+    def _digits(self, scalar_limbs):
+        """(N, 16) uint32 16-bit limbs -> (W, N) int32 byte digits."""
+        lo = (scalar_limbs & 0xFF).astype(jnp.int32)
+        hi = ((scalar_limbs >> 8) & 0xFF).astype(jnp.int32)
+        # window 2j   = low byte of limb j; window 2j+1 = high byte
+        inter = jnp.stack([lo, hi], axis=-1)            # (N, 16, 2)
+        return inter.reshape(-1, NUM_WINDOWS).T          # (32, N)
+
+    # -- per-window-group kernel ------------------------------------------------
+
+    def _window_group_totals(self, px, py, pz, digits):
+        """digits (Wg, N) -> window totals ((Wg,L),(Wg,L),(Wg,L))."""
+        G1, Fq = self.G1, self.Fq
+        wg, n = digits.shape
+        order = jnp.argsort(digits, axis=1)              # (Wg, N)
+        sd = jnp.take_along_axis(digits, order, axis=1)  # sorted digits
+
+        def gather(c):
+            return c[order]                              # (Wg, N, L)
+        sx, sy, sz = gather(px), gather(py), gather(pz)
+
+        # chunked inclusive prefix scan of EC adds
+        cl = self.chunk_len
+        nc = n // cl
+
+        def resh(c):
+            # (Wg, N, L) -> (cl, Wg, nc, L): scan over axis 0
+            return c.reshape(wg, nc, cl, -1).transpose(2, 0, 1, 3)
+        xs = (resh(sx), resh(sy), resh(sz))
+        ident = G1.broadcast_identity((wg, nc))
+
+        def body(carry, x):
+            nxt = G1.add(carry, x)
+            return nxt, nxt
+        _, ps = jax.lax.scan(body, ident, xs)            # (cl, Wg, nc, L) x3
+
+        # chunk offsets: exclusive scan of chunk totals along nc.
+        # lax.scan (sequential, body = ONE add) — an associative_scan would
+        # inline log(nc) adds into the graph and blow up compile time.
+        totals = tuple(c[-1].transpose(1, 0, 2) for c in ps)  # (nc, Wg, L)
+        ident_wg = G1.broadcast_identity((wg,))
+
+        def off_body(carry, x):
+            nxt = G1.add(carry, x)
+            return nxt, carry                            # exclusive
+        _, offs_seq = jax.lax.scan(off_body, ident_wg, totals)
+        offsets = tuple(c.transpose(1, 0, 2) for c in offs_seq)  # (Wg, nc, L)
+
+        # locate bucket run boundaries
+        nb = 1 << WINDOW_BITS
+        buckets = jnp.arange(nb, dtype=jnp.int32)
+
+        def find(side):
+            return jax.vmap(
+                lambda row: jnp.searchsorted(row, buckets, side=side)
+            )(sd)                                        # (Wg, nb)
+        head = find("left")
+        tail = find("right") - 1
+        empty = head > tail
+
+        def ps_at(idx):
+            """Prefix sum value at flat index (Wg, nb), identity at -1."""
+            neg = idx < 0
+            safe = jnp.maximum(idx, 0)
+            ci = safe // cl
+            pi = safe % cl
+            wg_ix = jnp.arange(wg, dtype=jnp.int32)[:, None]
+            vals = tuple(c[pi, wg_ix, ci] for c in ps)   # (Wg, nb, L)
+            offs = tuple(c[wg_ix, ci] for c in offsets)
+            summed = G1.add(vals, offs)
+            ident_b = G1.broadcast_identity(idx.shape)
+            return G1.select(neg, ident_b, summed)
+
+        b_hi = ps_at(tail)
+        b_lo = ps_at(head - 1)
+        bucket_sums = G1.add(b_hi, G1.neg(b_lo))         # (Wg, nb, L)
+        ident_b = G1.broadcast_identity((wg, nb))
+        bucket_sums = G1.select(empty, ident_b, bucket_sums)
+        # drop bucket 0 (digit 0 contributes nothing); iterate buckets from
+        # the top: running += B_d; total += running  =>  total = sum d*B_d.
+        # Sequential scan again: body = TWO adds, compiled once.
+        desc = tuple(c[:, 1:][:, ::-1].transpose(1, 0, 2)
+                     for c in bucket_sums)               # (nb-1, Wg, L)
+
+        def red_body(carry, x):
+            running, total = carry
+            running = G1.add(running, x)
+            total = G1.add(total, running)
+            return (running, total), None
+        (_, total), _ = jax.lax.scan(
+            red_body, (ident_wg, ident_wg), desc)
+        return total                                     # (Wg, L) x3
+
+    def _combine_windows(self, wx, wy, wz):
+        """(W, L) window totals -> final point, MSB window first:
+        acc = 2^c * acc + T_w."""
+        G1 = self.G1
+
+        def body(w, acc):
+            for _ in range(WINDOW_BITS):
+                acc = G1.add(acc, acc)
+            t = tuple(c[w] for c in (wx, wy, wz))
+            return G1.add(acc, t)
+        acc = self.G1.identity
+        acc = jax.lax.fori_loop(
+            0, NUM_WINDOWS, lambda i, a: body(i, a), acc)
+        return acc
+
+    # -- public ------------------------------------------------------------------
+
+    def msm_device(self, points, scalar_limbs):
+        """points: ((N,L),(N,L),(N,L)) projective Montgomery (the packed
+        SRS slice); scalar_limbs: (N, 16) canonical 16-bit limbs.
+        Returns a single projective device point."""
+        digits = self._digits(scalar_limbs)              # (32, N)
+        px, py, pz = points
+        totals = []
+        for g in range(0, NUM_WINDOWS, self.wg):
+            t = self._group_fn(px, py, pz, digits[g:g + self.wg])
+            totals.append(t)
+        wx = jnp.concatenate([t[0] for t in totals], axis=0)
+        wy = jnp.concatenate([t[1] for t in totals], axis=0)
+        wz = jnp.concatenate([t[2] for t in totals], axis=0)
+        # windows were emitted LSB-first; combine expects MSB-first
+        wx, wy, wz = wx[::-1], wy[::-1], wz[::-1]
+        return self._combine_fn(wx, wy, wz)
+
+    def msm(self, points, scalars_int):
+        """Host convenience: scalars as Python ints -> affine host point."""
+        limbs = self.Fr.pack(scalars_int, to_mont=False)
+        out = self.msm_device(points, limbs)
+        return self.G1.unpack_points(tuple(c[None] for c in out))[0]
+
+
+@lru_cache(maxsize=None)
+def msm_plan(n: int) -> MsmPlan:
+    return MsmPlan(n)
