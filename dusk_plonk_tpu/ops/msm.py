@@ -56,7 +56,9 @@ class MsmPlan:
             window_group -= 1
         self.wg = window_group
         self.chunk_len = min(512, n)
-        assert n % self.chunk_len == 0, "n must be divisible by chunk_len"
+        # pad to a chunk multiple: zero scalars sort into bucket 0, which the
+        # reduction drops, so identity-padding is free of correctness cost
+        self.n_pad = -(-n // self.chunk_len) * self.chunk_len
         self._group_fn = jax.jit(self._window_group_totals)
         self._combine_fn = jax.jit(self._combine_windows)
 
@@ -176,8 +178,17 @@ class MsmPlan:
         """points: ((N,L),(N,L),(N,L)) projective Montgomery (the packed
         SRS slice); scalar_limbs: (N, 16) canonical 16-bit limbs.
         Returns a single projective device point."""
-        digits = self._digits(scalar_limbs)              # (32, N)
         px, py, pz = points
+        if self.n_pad != self.n:
+            pad = self.n_pad - self.n
+            ident = self.G1.broadcast_identity((pad,))
+            px = jnp.concatenate([px, ident[0]], axis=0)
+            py = jnp.concatenate([py, ident[1]], axis=0)
+            pz = jnp.concatenate([pz, ident[2]], axis=0)
+            scalar_limbs = jnp.concatenate(
+                [scalar_limbs, jnp.zeros((pad, scalar_limbs.shape[1]),
+                                         scalar_limbs.dtype)], axis=0)
+        digits = self._digits(scalar_limbs)              # (32, n_pad)
         totals = []
         for g in range(0, NUM_WINDOWS, self.wg):
             t = self._group_fn(px, py, pz, digits[g:g + self.wg])
