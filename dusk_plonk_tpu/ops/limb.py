@@ -95,6 +95,17 @@ class LimbField:
     def pack_scalar(self, value: int, to_mont: bool = True) -> jax.Array:
         return self.pack([value], to_mont)[0]
 
+    def pack_sparse(self, pairs, n: int, to_mont: bool = True) -> jax.Array:
+        """[(index, value)] -> (n, L) limb array, zeros elsewhere.  Montgomery
+        conversion happens host-side per entry — O(nnz), not O(n)."""
+        spec = self.spec
+        arr = np.zeros((n, self.L), np.uint32)
+        for i, v in pairs:
+            if to_mont:
+                v = v * spec.mont_r % spec.modulus
+            arr[i] = _int_to_limbs(spec, v)
+        return jnp.asarray(arr)
+
     def unpack(self, arr, from_mont: bool = True) -> list[int]:
         """(N, L) limb array -> list of canonical Python ints."""
         if from_mont:
@@ -299,6 +310,37 @@ class LimbField:
     def select(self, cond, a, b):
         """Elementwise select: cond (...,) bool -> a or b."""
         return jnp.where(cond[..., None], a, b)
+
+    def from_mont(self, a):
+        """Montgomery -> canonical limbs on device (mul by canonical 1)."""
+        one = jnp.zeros(self.L, jnp.uint32).at[0].set(1)
+        return self.mul(a, jnp.broadcast_to(one, a.shape))
+
+    def powers(self, base, n: int):
+        """[1, base, base^2, ..., base^(n-1)] as (n, L), log-depth."""
+        arr = jnp.broadcast_to(base, (n, self.L))
+        incl = jax.lax.associative_scan(self.mul, arr, axis=0)
+        return jnp.concatenate(
+            [jnp.broadcast_to(self.one_mont, (1, self.L)), incl[:-1]], axis=0)
+
+    def sum_reduce(self, a, axis: int = 0):
+        """Modular sum along `axis` by halving (log-depth tree of adds)."""
+        a = jnp.moveaxis(a, axis, 0)
+        n = a.shape[0]
+        while n > 1:
+            half = n // 2
+            s = self.add(a[:half], a[half:2 * half])
+            if n % 2:
+                s = jnp.concatenate([s, a[2 * half:n]], axis=0)
+                n = half + 1
+            else:
+                n = half
+            a = s
+        return a[0]
+
+    def dot(self, coeffs, point_powers):
+        """Polynomial evaluation: sum(coeffs * powers) along axis -2."""
+        return self.sum_reduce(self.mul(coeffs, point_powers), axis=-2)
 
 
 FR_SPEC = FieldSpec(
