@@ -53,6 +53,86 @@ class PlonkParams:
         beta_h = bls.g2_mul(h, tau)
         return cls(powers, h, beta_h)
 
+    @classmethod
+    def setup_device(cls, k: int, rng) -> "PlonkParams":
+        """Device-accelerated trusted setup: identical RNG draw and output
+        to `setup` (differential-tested), but the n fixed-base scalar
+        multiplications run as one batched gather + EC tree-reduce on
+        device instead of a host ladder."""
+        import numpy as np
+        import jax.numpy as jnp
+        from ..rng.chacha import fr_random as _fr_random
+        from ..ops.ec import device_g1
+        from ..ops.limb import fr_field
+
+        tau = _fr_random(rng)
+        n = (1 << k) + 7
+
+        # host: 8-bit window tables of G (32 x 256 points, ~8k cheap adds)
+        window = 8
+        windows = 32
+        G1 = device_g1()
+        tables = []
+        cur = bls._jac_from_affine(bls.G1_GENERATOR)
+        for _ in range(windows):
+            row = [None]
+            acc = (1, 1, 0)
+            for _ in range(1, 1 << window):
+                acc = bls._jac_add(acc, cur)
+                row.append(bls._jac_to_affine(acc))
+            tables.append(row)
+            for _ in range(window):
+                cur = bls._jac_double(cur)
+        flat = [p for row in tables for p in row]
+        tx, ty, tz = G1.pack_points(flat)            # (24, 32*256) each
+
+        # host: tau power ladder (canonical ints), then 8-bit digits
+        F = fr_field()
+        scalars = [1] * n
+        for i in range(1, n):
+            scalars[i] = scalars[i - 1] * tau % R_MOD
+        limbs = np.asarray(F.pack(scalars, to_mont=False))   # (16, n)
+        lo = limbs & 0xFF
+        hi = (limbs >> 8) & 0xFF
+        digits = np.stack([lo, hi], axis=1).reshape(32, n)   # (32, n)
+        flat_idx = jnp.asarray(
+            digits.astype(np.int64) + np.arange(32)[:, None] * 256)
+
+        # device: gather window entries, then reduce the 32 windows
+        # LEVEL BY LEVEL as separate dispatches — the axon XLA allocator
+        # does not reuse temp buffers inside one program, so a fused
+        # 5-level EC-add tree on (24, 32, n) plans >15 GB and aborts
+        import jax
+
+        # ONE gather executable + ONE pairwise-add executable, re-dispatched
+        # per window: the axon XLA allocator does not reuse temp buffers
+        # inside a program, so anything wider than a single (24, n) EC add
+        # plans tens of GB and aborts.  31 tiny dispatches instead.
+        @jax.jit
+        def gather1(tx, ty, tz, idx1):
+            return (tx[:, idx1], ty[:, idx1], tz[:, idx1])   # (24, n)
+
+        @jax.jit
+        def addp(p, q):
+            return G1.add(p, q)
+
+        flat_idx = np.asarray(flat_idx)
+        winpts = [gather1(tx, ty, tz, jnp.asarray(flat_idx[w]))
+                  for w in range(windows)]
+        while len(winpts) > 1:
+            nxt = [addp(winpts[i], winpts[i + 1])
+                   for i in range(0, len(winpts) - 1, 2)]
+            if len(winpts) % 2:
+                nxt.append(winpts[-1])
+            winpts = nxt
+        out = winpts[0]
+        jax.block_until_ready(out)
+        powers = G1.unpack_points(out)
+
+        h = bls.G2_GENERATOR
+        beta_h = bls.g2_mul(h, tau)
+        return cls(powers, h, beta_h)
+
     def trim(self, degree: int) -> "PlonkParams":
         """Truncate to `degree` (reference src/key.rs:82 trims to
         (m+6).next_power_of_two())."""

@@ -8,12 +8,14 @@ every lane executes the same instruction stream; it also makes EC addition a
 clean associative combiner for jax.lax.associative_scan / segmented scans,
 which is what the Pippenger MSM (ops/msm.py) is built on.
 
-Points are pytrees (X, Y, Z) of (..., 24) uint32 Montgomery limb arrays.
-Identity = (0, 1, 0).  12 Fq muls + 2 mul-by-b3 per addition.
+Points are pytrees (X, Y, Z) of (..., 24, N) uint32 Montgomery limb arrays
+(limb-major; see ops/limb.py).  Identity = (0, 1, 0).  12 Fq muls +
+2 mul-by-b3 per addition.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..fields.constants import Q_MOD
@@ -26,13 +28,20 @@ class DeviceG1:
     def __init__(self):
         self.F = fq_field()
         F = self.F
-        self.b3 = F.pack_scalar(B3)
-        self.identity = (F.pack_scalar(0), F.pack_scalar(1), F.pack_scalar(0))
+        # numpy constants (Montgomery form computed host-side): captured
+        # device arrays cost ~3 ms per jitted call on axon — see ops/limb.py
+        from .limb import _int_to_limbs
+        spec = F.spec
+
+        def mont_np(v):
+            return _int_to_limbs(spec, v * spec.mont_r % spec.modulus)[:, None]
+        self.b3 = mont_np(B3)
+        self.identity = (mont_np(0), mont_np(1), mont_np(0))  # (24, 1) each
 
     # -- host <-> device ---------------------------------------------------------
 
     def pack_points(self, affine_points):
-        """[(x, y) | None] -> ((N,24),(N,24),(N,24)) projective Montgomery."""
+        """[(x, y) | None] -> ((24,N),(24,N),(24,N)) projective Montgomery."""
         xs, ys, zs = [], [], []
         for p in affine_points:
             if p is None:
@@ -43,7 +52,7 @@ class DeviceG1:
         return (F.pack(xs), F.pack(ys), F.pack(zs))
 
     def unpack_points(self, pts):
-        """Projective device points -> [(x, y) | None] affine host points."""
+        """Projective device points (..., 24, N) -> [(x, y) | None]."""
         F = self.F
         xs = F.unpack(pts[0])
         ys = F.unpack(pts[1])
@@ -99,16 +108,23 @@ class DeviceG1:
         return (x, self.F.neg(y), z)
 
     def select(self, cond, p, q):
-        """cond (...,) bool -> p or q, per lane."""
+        """cond (..., N) bool -> p or q, per lane."""
         F = self.F
         return tuple(F.select(cond, a, b) for a, b in zip(p, q))
 
-    def broadcast_identity(self, shape_prefix):
-        return tuple(jnp.broadcast_to(c, shape_prefix + (self.F.L,))
-                     for c in self.identity)
+    def identity_like(self, c):
+        """Identity broadcast to the shape of component array c."""
+        return tuple(jnp.broadcast_to(i, c.shape) for i in self.identity)
 
-    def tree_reduce(self, pts):
-        """Sum points along axis 0 by halving (log-depth)."""
+    def broadcast_identity(self, batch_shape, n: int = 1):
+        """Identity as (batch_shape..., 24, n) components."""
+        return tuple(
+            jnp.broadcast_to(i, tuple(batch_shape) + (self.F.L, n))
+            for i in self.identity)
+
+    def tree_reduce(self, pts, axis: int = 0):
+        """Sum points along a batch axis by halving (log-depth)."""
+        pts = tuple(jnp.moveaxis(c, axis, 0) for c in pts)
         n = pts[0].shape[0]
         while n > 1:
             half = n // 2
@@ -123,6 +139,24 @@ class DeviceG1:
                 n = half
             pts = s
         return tuple(c[0] for c in pts)
+
+    def lane_reduce(self, pts):
+        """Sum points along the ELEMENT (minormost) axis by halving;
+        (..., 24, N) -> (..., 24, 1)."""
+        n = pts[0].shape[-1]
+        while n > 1:
+            half = n // 2
+            even = tuple(c[..., :half] for c in pts)
+            odd = tuple(c[..., half:2 * half] for c in pts)
+            s = self.add(even, odd)
+            if n % 2:
+                s = tuple(jnp.concatenate([a, c[..., 2 * half:n]], axis=-1)
+                          for a, c in zip(s, pts))
+                n = half + 1
+            else:
+                n = half
+            pts = s
+        return pts
 
 
 _g1 = None

@@ -6,9 +6,14 @@ Here a field element is L 16-bit limbs stored in uint32 lanes:
 
 * 16x16 -> 32-bit products are exact in native uint32 VPU multiplies;
 * schoolbook columns accumulate lazily (bounded by ~2^22, far below 2^32),
-  so carry chains run once per multiply, not once per partial product;
-* everything is batched: arrays are (..., L) and all ops vectorize over the
-  leading axes, mapping onto the 8x128 VPU lanes.
+  so carry chains run once per multiply, not once per partial product.
+
+LAYOUT: arrays are LIMB-MAJOR, (..., L, N) — the element axis N is
+minormost (fills the 8x128 VPU lanes), limbs live in sublanes.  Carry
+propagation and limb shifts are then row operations; with the element axis
+minormost they compile to sublane moves instead of the cross-lane shuffles
+an (N, L) layout forces (measured 11x faster carries on TPU).  Scalars are
+(L, 1) — a one-element batch that broadcasts against any (..., L, N).
 
 Fr uses L=16 (256 bits, R=2^256 — same R as the reference, so Montgomery
 values interop bit-for-bit); Fq uses L=24 (384 bits, R=2^384).
@@ -26,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-MASK16 = jnp.uint32(0xFFFF)
+MASK16 = 0xFFFF  # Python int: stays a folded literal in traced ops
 
 
 @dataclass(frozen=True)
@@ -61,42 +66,50 @@ def _int_to_limbs(spec: FieldSpec, x: int) -> np.ndarray:
 
 
 class LimbField:
-    """JAX ops for one field; all methods are jit-safe and batched."""
+    """JAX ops for one field; all methods are jit-safe and batched over the
+    minormost axis (and any extra leading axes)."""
 
     def __init__(self, spec: FieldSpec):
         self.spec = spec
         self.L = spec.limbs
-        self.mod_limbs = jnp.asarray(_int_to_limbs(spec, spec.modulus))
-        self.r2 = jnp.asarray(_int_to_limbs(spec, spec.mont_r2))
-        self.one_mont = jnp.asarray(_int_to_limbs(spec, spec.mont_r))
-        self.zero = jnp.zeros(self.L, jnp.uint32)
-        self.n0inv = jnp.uint32(spec.n0inv)
+        # Constants are NUMPY, not jnp: a pre-built device array captured
+        # in a jitted closure is re-bound per call (measured ~3 ms each on
+        # the axon backend), while numpy constants fold into the HLO at
+        # trace time for free.  Large tables must be passed as jit ARGS.
+        self.mod_limbs = _int_to_limbs(spec, spec.modulus)[:, None]   # (L, 1)
+        self.r2 = _int_to_limbs(spec, spec.mont_r2)[:, None]
+        self.one_mont = _int_to_limbs(spec, spec.mont_r)[:, None]
+        self.zero = np.zeros((self.L, 1), np.uint32)
+        self.n0inv = np.uint32(spec.n0inv)
         # -modulus^-1 mod 2^(16L), full width (separated Montgomery reduction)
         nprime = (-pow(spec.modulus, -1, 1 << spec.bits)) % (1 << spec.bits)
-        self.nprime_limbs = jnp.asarray(_int_to_limbs(spec, nprime))
+        self.nprime_limbs = _int_to_limbs(spec, nprime)[:, None]
         # jitted entry point for host-boundary conversions (eager ops on the
         # axon TPU backend trigger per-op remote compiles — never go eager)
         self._jit_mul = jax.jit(self.mul)
 
     # -- host <-> device packing ------------------------------------------------
 
-    def pack(self, values, to_mont: bool = True) -> jax.Array:
-        """Python ints -> (N, L) uint32 limb array (Montgomery by default)."""
+    def pack(self, values, to_mont: bool = True, shape=None) -> jax.Array:
+        """Python ints -> (L, N) uint32 limb array (Montgomery by default).
+        With `shape`, returns shape[:-1] + (L, shape[-1])."""
         spec = self.spec
         buf = b"".join(int(v).to_bytes(spec.limbs * 2, "little")
                        for v in values)
         arr = np.frombuffer(buf, dtype="<u2").reshape(
             len(values), spec.limbs).astype(np.uint32)
-        out = jnp.asarray(arr)
+        out = jnp.asarray(arr.T)                               # (L, N)
         if to_mont:
-            out = self._jit_mul(out, jnp.broadcast_to(self.r2, out.shape))
+            out = self._jit_mul(out, self.r2)
+        if shape is not None:
+            out = jnp.moveaxis(out.reshape((self.L,) + tuple(shape)), 0, -2)
         return out
 
     def pack_scalar(self, value: int, to_mont: bool = True) -> jax.Array:
-        return self.pack([value], to_mont)[0]
+        return self.pack([value], to_mont)                     # (L, 1)
 
     def pack_sparse(self, pairs, n: int, to_mont: bool = True) -> jax.Array:
-        """[(index, value)] -> (n, L) limb array, zeros elsewhere.  Montgomery
+        """[(index, value)] -> (L, n) limb array, zeros elsewhere.  Montgomery
         conversion happens host-side per entry — O(nnz), not O(n)."""
         spec = self.spec
         arr = np.zeros((n, self.L), np.uint32)
@@ -104,49 +117,47 @@ class LimbField:
             if to_mont:
                 v = v * spec.mont_r % spec.modulus
             arr[i] = _int_to_limbs(spec, v)
-        return jnp.asarray(arr)
+        return jnp.asarray(arr.T)
 
     def unpack(self, arr, from_mont: bool = True) -> list[int]:
-        """(N, L) limb array -> list of canonical Python ints."""
+        """(..., L, N) limb array -> flat list of canonical Python ints."""
         if from_mont:
-            one = jnp.zeros_like(arr).at[..., 0].set(1)
+            one = jnp.zeros_like(arr).at[..., 0, :].set(1)
             arr = self._jit_mul(arr, one)
         host = np.asarray(jax.device_get(arr)).astype("<u2")
-        flat = host.reshape(-1, self.L)
+        flat = np.moveaxis(host, -2, -1).reshape(-1, self.L)
         return [int.from_bytes(row.tobytes(), "little") for row in flat]
 
     # -- core arithmetic -----------------------------------------------------------
 
     @staticmethod
-    def _shift_cols(x, d):
-        """Shift limb columns up by d (toward higher significance),
-        zero-filling: out[..., j] = x[..., j-d]."""
-        pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
-        return jnp.concatenate([pad, x[..., :-d]], axis=-1)
+    def _shift_rows(x, d):
+        """Shift limb rows up by d (toward higher significance),
+        zero-filling: out[..., j, :] = x[..., j-d, :]."""
+        pad = jnp.zeros(x.shape[:-2] + (d,) + x.shape[-1:], x.dtype)
+        return jnp.concatenate([pad, x[..., :-d, :]], axis=-2)
 
     def _ks(self, s):
-        """Kogge-Stone carry resolution: s (..., K) with every column
+        """Kogge-Stone carry resolution: s (..., K, N) with every row
         < 2^17 (a sum of one 16-bit limb and a small addend).  Returns
-        (limbs, carry_out).  Log-depth instead of a K-step ripple — the
-        ripple chains dominated both XLA compile time and the critical
-        path on the VPU."""
-        K = s.shape[-1]
+        (limbs, carry_out).  Log-depth instead of a K-step ripple."""
+        K = s.shape[-2]
         g = (s >> 16).astype(jnp.uint32)                 # carry generate, 0/1
         p = ((s & MASK16) == MASK16).astype(jnp.uint32)  # carry propagate
         d = 1
         while d < K:
-            g = g | (p & self._shift_cols(g, d))
-            p = p & self._shift_cols(p, d)
+            g = g | (p & self._shift_rows(g, d))
+            p = p & self._shift_rows(p, d)
             d *= 2
-        carry_in = self._shift_cols(g, 1)
+        carry_in = self._shift_rows(g, 1)
         out = (s + carry_in) & MASK16
-        return out, g[..., -1].astype(bool)
+        return out, g[..., -1, :].astype(bool)
 
     def _sub_borrow(self, a, b):
         """Limbwise a - b via a + ~b + 1 with Kogge-Stone carries; returns
         (diff, borrow_out).  Inputs must be carried (< 2^16 per limb)."""
-        b = jnp.broadcast_to(b, a.shape)
-        one0 = jnp.zeros(a.shape[-1], jnp.uint32).at[0].set(1)
+        a, b = self._bc(a, b)
+        one0 = jnp.zeros((a.shape[-2], 1), jnp.uint32).at[0, 0].set(1)
         s = a + (MASK16 ^ b) + one0
         diff, carry_out = self._ks(s)
         return diff, jnp.logical_not(carry_out)
@@ -154,37 +165,38 @@ class LimbField:
     def _add_carry(self, a, b):
         """Limbwise a + b with full carry (inputs carried; drops overflow
         beyond the top limb, which callers guarantee is zero)."""
-        return self._carry(a + jnp.broadcast_to(b, a.shape))
+        return self._carry(a + b)
 
     def _cond_sub_mod(self, a):
         """a - modulus if a >= modulus (expects a < 2*modulus, carried)."""
         diff, borrow = self._sub_borrow(a, self.mod_limbs)
-        return jnp.where(borrow[..., None], a, diff)
+        return jnp.where(borrow[..., None, :], a, diff)
 
     def _carry(self, t):
-        """Full carry propagation of lazy (..., K) columns (each < 2^22)
+        """Full carry propagation of lazy (..., K, N) rows (each < 2^22)
         into 16-bit limbs, mod 2^(16K).  Two-level: fold the high halves one
-        column up (still one carry bit per position), then Kogge-Stone."""
+        row up (still one carry bit per position), then Kogge-Stone."""
         lo = t & MASK16
-        hi = t >> 16                       # < 2^6 per column
-        s = lo + self._shift_cols(hi, 1)   # each column < 2^16 + 2^6
+        hi = t >> 16                       # < 2^6 per row
+        s = lo + self._shift_rows(hi, 1)   # each row < 2^16 + 2^6
         out, _ = self._ks(s)
         return out
 
     def add(self, a, b):
         a, b = self._bc(a, b)
-        s = self._carry(a + b)  # lazy sum < 2^17 per column
+        s = self._carry(a + b)  # lazy sum < 2^17 per row
         return self._cond_sub_mod(s)
 
     def sub(self, a, b):
         a, b = self._bc(a, b)
         d, borrow = self._sub_borrow(a, b)
-        wrapped = self._add_carry(d, self.mod_limbs)
-        return jnp.where(borrow[..., None], wrapped, d)
+        wrapped = self._add_carry(d, jnp.broadcast_to(self.mod_limbs,
+                                                      d.shape))
+        return jnp.where(borrow[..., None, :], wrapped, d)
 
     def neg(self, a):
         z = jnp.zeros_like(a)
-        is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+        is_zero = jnp.all(a == 0, axis=-2, keepdims=True)
         n, _ = self._sub_borrow(
             jnp.broadcast_to(self.mod_limbs, a.shape), a)
         return jnp.where(is_zero, z, n)
@@ -196,64 +208,59 @@ class LimbField:
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         return jnp.broadcast_to(a, shape), jnp.broadcast_to(b, shape)
 
-    @lru_cache(maxsize=None)
-    def _diag_selectors(self, out_cols: int):
-        """One-hot anti-diagonal scatter matrices: S[i*L+j, k] = 1 where
-        i+j == k (lo half) / i+j+1 == k (hi half), flattened so the column
-        accumulation becomes a single (batch, L*L) x (L*L, out_cols) integer
-        matmul — one fused op instead of L scatter/pad chains.  On TPU this
-        is a dense VPU contraction; a Pallas kernel can specialize it later."""
-        L = self.L
-        s_lo = np.zeros((L * L, out_cols), np.uint32)
-        s_hi = np.zeros((L * L, out_cols), np.uint32)
-        for i in range(L):
-            for j in range(L):
-                if i + j < out_cols:
-                    s_lo[i * L + j, i + j] = 1
-                if i + j + 1 < out_cols:
-                    s_hi[i * L + j, i + j + 1] = 1
-        # cache as NUMPY: a jnp array materialized inside a jit trace would
-        # be a leaked tracer on reuse from the cache
-        return s_lo, s_hi
+    def _antidiag_sums(self, p):
+        """cols[..., k, :] = sum_{i+j=k} p[..., i, j, :] for p (..., L, L, N),
+        output (..., 2L+1, N) (row 2L always 0 — kept for carry headroom).
 
-    def _product_columns(self, a, b, out_cols: int, tri: bool = False):
+        Pad-reshape diagonal binning: pad the j axis to width 2L+2 and merge
+        (i, j); element (i, j) sits at merged index i*(2L+2) + j =
+        i*(2L+1) + (i+j), so re-reading at width 2L+1 puts it in group i,
+        row i+j — one reduction over groups sums each anti-diagonal.  The
+        element axis N stays minormost throughout: no lane shuffles."""
+        L = self.L
+        lead = p.shape[:-3]
+        n = p.shape[-1]
+        w = 2 * L + 1
+        padded = jnp.pad(
+            p, [(0, 0)] * len(lead) + [(0, 0), (0, L + 2), (0, 0)])
+        flat = padded.reshape(lead + (L * (2 * L + 2), n))
+        binned = flat[..., : L * w, :].reshape(lead + (L, w, n))
+        return jnp.sum(binned, axis=-3)
+
+    def _product_columns(self, a, b, out_cols: int):
         """Lazy anti-diagonal column sums of the schoolbook product a*b:
         cols[k] = sum_{i+j=k} lo(a_i b_j) + sum_{i+j=k-1} hi(a_i b_j),
-        truncated to `out_cols` columns.  Column sums stay < 2^21, far
-        below the uint32 ceiling.  `tri` only affects which products are
-        *used* (the selector zeroes i+j >= out_cols), correctness is
-        unchanged."""
+        truncated to `out_cols` rows.  Row sums stay < 2^21, far below the
+        uint32 ceiling."""
         L = self.L
-        p = a[..., :, None] * b[..., None, :]           # (..., L, L) exact
-        lo = (p & MASK16).reshape(p.shape[:-2] + (L * L,))
-        hi = (p >> 16).reshape(p.shape[:-2] + (L * L,))
-        s_lo, s_hi = self._diag_selectors(out_cols)
-        return (jax.lax.dot_general(
-                    lo, s_lo, (((lo.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.uint32)
-                + jax.lax.dot_general(
-                    hi, s_hi, (((hi.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.uint32))
+        p = a[..., :, None, :] * b[..., None, :, :]     # (..., L, L, N) exact
+        lo = self._antidiag_sums(p & MASK16)            # (..., 2L+1, N)
+        hi = self._antidiag_sums(p >> 16)
+        hi_shift = self._shift_rows(hi, 1)
+        cols = lo + hi_shift
+        if out_cols <= 2 * L + 1:
+            return cols[..., :out_cols, :]
+        return jnp.pad(cols, [(0, 0)] * (cols.ndim - 2)
+                       + [(0, out_cols - 2 * L - 1), (0, 0)])
 
     def mul(self, a, b):
         """Batched Montgomery multiplication, separated-operand form:
             T = a*b;  m = (T mod R) * N' mod R;  out = (T + m*N) / R
         (R = 2^(16L), N' = -N^-1 mod R).  ~2.5 L^2 16-bit products vs CIOS's
         2 L^2, but with NO per-word sequential dependency — the three
-        products are fully parallel pad/sum trees and only the three carry
-        chains (cheap elementwise) are sequential.  TPU-first tradeoff."""
+        products are fully parallel sum trees and only the three carry
+        chains (cheap row ops) are sequential.  TPU-first tradeoff."""
         L = self.L
         a, b = self._bc(a, b)
 
-        t = self._carry(self._product_columns(a, b, 2 * L + 1))  # exact 2L+1 limbs
+        t = self._carry(self._product_columns(a, b, 2 * L + 1))
         m = self._carry(self._product_columns(
-            t[..., :L], jnp.broadcast_to(self.nprime_limbs, a.shape), L,
-            tri=True))                                            # exact L limbs
+            t[..., :L, :], jnp.broadcast_to(self.nprime_limbs, a.shape), L))
         mn = self._product_columns(
             m, jnp.broadcast_to(self.mod_limbs, a.shape), 2 * L + 1)
         full = self._carry(t + mn)
-        # (T + mN) / R < 2N < 2^(16L): high limbs L..2L-1, column 2L is 0
-        return self._cond_sub_mod(full[..., L:2 * L])
+        # (T + mN) / R < 2N < 2^(16L): rows L..2L-1, row 2L is 0
+        return self._cond_sub_mod(full[..., L:2 * L, :])
 
     def square(self, a):
         return self.mul(a, a)
@@ -291,40 +298,42 @@ class LimbField:
         return self.pow_const(a, self.spec.modulus - 2)
 
     def batch_inv(self, a):
-        """Montgomery's trick over the leading axis: 1 Fermat inverse +
+        """Montgomery's trick over the element axis: 1 Fermat inverse +
         3N multiplications (reference does per-element inversion in the
         quotient loop, src/prover/quotient_poly.rs:111 — this is the
         TPU-friendly replacement). Zero entries map to zero."""
-        is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+        is_zero = jnp.all(a == 0, axis=-2, keepdims=True)
         safe = jnp.where(is_zero, self.one_mont, a)
-        prefix = jax.lax.associative_scan(self.mul, safe, axis=0)
-        suffix = jax.lax.associative_scan(self.mul, safe, axis=0,
+        ax = a.ndim - 1
+        prefix = jax.lax.associative_scan(self.mul, safe, axis=ax)
+        suffix = jax.lax.associative_scan(self.mul, safe, axis=ax,
                                           reverse=True)
-        total_inv = self.inv(prefix[-1])
-        one = jnp.broadcast_to(self.one_mont, safe[:1].shape)
-        prefix_excl = jnp.concatenate([one, prefix[:-1]], axis=0)
-        suffix_excl = jnp.concatenate([suffix[1:], one], axis=0)
+        total_inv = self.inv(prefix[..., -1:])
+        one = jnp.broadcast_to(self.one_mont, safe[..., :1].shape)
+        prefix_excl = jnp.concatenate([one, prefix[..., :-1]], axis=-1)
+        suffix_excl = jnp.concatenate([suffix[..., 1:], one], axis=-1)
         out = self.mul(self.mul(prefix_excl, suffix_excl), total_inv)
         return jnp.where(is_zero, jnp.zeros_like(a), out)
 
     def select(self, cond, a, b):
-        """Elementwise select: cond (...,) bool -> a or b."""
-        return jnp.where(cond[..., None], a, b)
+        """Elementwise select: cond (..., N) bool -> a or b."""
+        return jnp.where(cond[..., None, :], a, b)
 
     def from_mont(self, a):
         """Montgomery -> canonical limbs on device (mul by canonical 1)."""
-        one = jnp.zeros(self.L, jnp.uint32).at[0].set(1)
+        one = jnp.zeros((self.L, 1), jnp.uint32).at[0, 0].set(1)
         return self.mul(a, jnp.broadcast_to(one, a.shape))
 
     def powers(self, base, n: int):
-        """[1, base, base^2, ..., base^(n-1)] as (n, L), log-depth."""
-        arr = jnp.broadcast_to(base, (n, self.L))
-        incl = jax.lax.associative_scan(self.mul, arr, axis=0)
-        return jnp.concatenate(
-            [jnp.broadcast_to(self.one_mont, (1, self.L)), incl[:-1]], axis=0)
+        """[1, base, base^2, ..., base^(n-1)] as (L, n), log-depth.
+        base: (L, 1)."""
+        arr = jnp.broadcast_to(base, (self.L, n))
+        incl = jax.lax.associative_scan(self.mul, arr, axis=1)
+        return jnp.concatenate([self.one_mont, incl[..., :-1]], axis=-1)
 
     def sum_reduce(self, a, axis: int = 0):
-        """Modular sum along `axis` by halving (log-depth tree of adds)."""
+        """Modular sum along a BATCH axis (not the limb/element axes) by
+        halving (log-depth tree of adds)."""
         a = jnp.moveaxis(a, axis, 0)
         n = a.shape[0]
         while n > 1:
@@ -339,8 +348,20 @@ class LimbField:
         return a[0]
 
     def dot(self, coeffs, point_powers):
-        """Polynomial evaluation: sum(coeffs * powers) along axis -2."""
-        return self.sum_reduce(self.mul(coeffs, point_powers), axis=-2)
+        """Polynomial evaluation: sum over the element axis of
+        coeffs * powers; returns (..., L, 1)."""
+        prod = self.mul(coeffs, point_powers)
+        n = prod.shape[-1]
+        while n > 1:
+            half = n // 2
+            s = self.add(prod[..., :half], prod[..., half:2 * half])
+            if n % 2:
+                s = jnp.concatenate([s, prod[..., 2 * half:n]], axis=-1)
+                n = half + 1
+            else:
+                n = half
+            prod = s
+        return prod
 
 
 FR_SPEC = FieldSpec(

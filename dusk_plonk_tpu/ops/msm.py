@@ -8,15 +8,15 @@ directly — SURVEY.md §7 hard part #3):
   2. Per window, points are SORTED by digit (XLA sort is fast on TPU);
      equal digits become contiguous runs.
   3. An inclusive prefix scan of EC additions runs CHUNKED: the sorted
-     sequence is reshaped (chunk_len, num_chunks) and lax.scan runs
+     sequence is reshaped (num_chunks, chunk_len) and lax.scan runs
      chunk_len sequential steps over num_chunks*window parallel lanes —
      O(N) EC adds with full VPU occupancy (the complete-addition formula
-     makes the combiner branch-free).
+     makes the combiner branch-free).  Layout is limb-major (ops/limb.py):
+     scan-step operands are (Wg, L, nc) with the chunk axis in lanes.
   4. Bucket sums are prefix differences at run boundaries, located with
      searchsorted (no scatters anywhere).
-  5. The weighted bucket reduction sum(d * B_d) uses the classic suffix
-     trick: S_d = sum_{e>=d} B_e (reversed associative scan), total =
-     sum_{d>=1} S_d (tree reduce) — log-depth.
+  5. The weighted bucket reduction sum(d * B_d) walks buckets from the top
+     (running += B_d; total += running) in one fori-free lax.scan.
   6. Windows combine with c doublings per step inside one fori_loop.
 
 Reference equivalents: `PlonkParams::commit` / `msm_curve_addition`
@@ -65,24 +65,25 @@ class MsmPlan:
     # -- digit extraction ----------------------------------------------------
 
     def _digits(self, scalar_limbs):
-        """(N, 16) uint32 16-bit limbs -> (W, N) int32 byte digits."""
+        """(16, N) uint32 16-bit limbs -> (W, N) int32 byte digits."""
         lo = (scalar_limbs & 0xFF).astype(jnp.int32)
         hi = ((scalar_limbs >> 8) & 0xFF).astype(jnp.int32)
         # window 2j   = low byte of limb j; window 2j+1 = high byte
-        inter = jnp.stack([lo, hi], axis=-1)            # (N, 16, 2)
-        return inter.reshape(-1, NUM_WINDOWS).T          # (32, N)
+        n = scalar_limbs.shape[-1]
+        return jnp.stack([lo, hi], axis=1).reshape(NUM_WINDOWS, n)
 
     # -- per-window-group kernel ------------------------------------------------
 
     def _window_group_totals(self, px, py, pz, digits):
-        """digits (Wg, N) -> window totals ((Wg,L),(Wg,L),(Wg,L))."""
-        G1, Fq = self.G1, self.Fq
+        """digits (Wg, N); points (L, N) -> window totals (Wg, L, 1) x3."""
+        G1 = self.G1
         wg, n = digits.shape
-        order = jnp.argsort(digits, axis=1)              # (Wg, N)
-        sd = jnp.take_along_axis(digits, order, axis=1)  # sorted digits
+        L = self.Fq.L
+        order = jnp.argsort(digits, axis=-1)             # (Wg, N)
+        sd = jnp.take_along_axis(digits, order, axis=-1)
 
         def gather(c):
-            return c[order]                              # (Wg, N, L)
+            return jnp.moveaxis(c[:, order], 0, 1)       # (Wg, L, N)
         sx, sy, sz = gather(px), gather(py), gather(pz)
 
         # chunked inclusive prefix scan of EC adds
@@ -90,27 +91,30 @@ class MsmPlan:
         nc = n // cl
 
         def resh(c):
-            # (Wg, N, L) -> (cl, Wg, nc, L): scan over axis 0
-            return c.reshape(wg, nc, cl, -1).transpose(2, 0, 1, 3)
+            # (Wg, L, N) -> (cl, Wg, L, nc): scan over axis 0, chunk axis
+            # in lanes
+            return c.reshape(wg, L, nc, cl).transpose(3, 0, 1, 2)
         xs = (resh(sx), resh(sy), resh(sz))
-        ident = G1.broadcast_identity((wg, nc))
+        ident = G1.broadcast_identity((wg,), nc)
 
         def body(carry, x):
             nxt = G1.add(carry, x)
             return nxt, nxt
-        _, ps = jax.lax.scan(body, ident, xs)            # (cl, Wg, nc, L) x3
+        _, ps = jax.lax.scan(body, ident, xs)            # (cl, Wg, L, nc) x3
 
         # chunk offsets: exclusive scan of chunk totals along nc.
         # lax.scan (sequential, body = ONE add) — an associative_scan would
         # inline log(nc) adds into the graph and blow up compile time.
-        totals = tuple(c[-1].transpose(1, 0, 2) for c in ps)  # (nc, Wg, L)
-        ident_wg = G1.broadcast_identity((wg,))
+        totals = tuple(c[-1].transpose(2, 0, 1)[..., None]
+                       for c in ps)                      # (nc, Wg, L, 1)
+        ident_wg = G1.broadcast_identity((wg,), 1)       # (Wg, L, 1)
 
         def off_body(carry, x):
             nxt = G1.add(carry, x)
             return nxt, carry                            # exclusive
         _, offs_seq = jax.lax.scan(off_body, ident_wg, totals)
-        offsets = tuple(c.transpose(1, 0, 2) for c in offs_seq)  # (Wg, nc, L)
+        offsets = tuple(c.transpose(1, 2, 3, 0)[..., 0, :]
+                        for c in offs_seq)               # (Wg, L, nc)
 
         # locate bucket run boundaries
         nb = 1 << WINDOW_BITS
@@ -125,28 +129,32 @@ class MsmPlan:
         empty = head > tail
 
         def ps_at(idx):
-            """Prefix sum value at flat index (Wg, nb), identity at -1."""
+            """Prefix-scan value at flat index (Wg, nb) -> (Wg, L, nb);
+            identity at -1."""
             neg = idx < 0
             safe = jnp.maximum(idx, 0)
-            ci = safe // cl
+            ci = safe // cl                              # (Wg, nb)
             pi = safe % cl
             wg_ix = jnp.arange(wg, dtype=jnp.int32)[:, None]
-            vals = tuple(c[pi, wg_ix, ci] for c in ps)   # (Wg, nb, L)
-            offs = tuple(c[wg_ix, ci] for c in offsets)
+            # ps: (cl, Wg, L, nc) -> [pi, wg, :, ci] -> (Wg, nb, L)
+            vals = tuple(jnp.transpose(c[pi, wg_ix, :, ci], (0, 2, 1))
+                         for c in ps)                    # (Wg, L, nb)
+            offs = tuple(jnp.take_along_axis(
+                c, ci[:, None, :], axis=-1) for c in offsets)
             summed = G1.add(vals, offs)
-            ident_b = G1.broadcast_identity(idx.shape)
+            ident_b = G1.broadcast_identity((wg,), nb)
             return G1.select(neg, ident_b, summed)
 
         b_hi = ps_at(tail)
         b_lo = ps_at(head - 1)
-        bucket_sums = G1.add(b_hi, G1.neg(b_lo))         # (Wg, nb, L)
-        ident_b = G1.broadcast_identity((wg, nb))
+        bucket_sums = G1.add(b_hi, G1.neg(b_lo))         # (Wg, L, nb)
+        ident_b = G1.broadcast_identity((wg,), nb)
         bucket_sums = G1.select(empty, ident_b, bucket_sums)
         # drop bucket 0 (digit 0 contributes nothing); iterate buckets from
         # the top: running += B_d; total += running  =>  total = sum d*B_d.
         # Sequential scan again: body = TWO adds, compiled once.
-        desc = tuple(c[:, 1:][:, ::-1].transpose(1, 0, 2)
-                     for c in bucket_sums)               # (nb-1, Wg, L)
+        desc = tuple(c[..., 1:][..., ::-1].transpose(2, 0, 1)[..., None]
+                     for c in bucket_sums)               # (nb-1, Wg, L, 1)
 
         def red_body(carry, x):
             running, total = carry
@@ -155,10 +163,10 @@ class MsmPlan:
             return (running, total), None
         (_, total), _ = jax.lax.scan(
             red_body, (ident_wg, ident_wg), desc)
-        return total                                     # (Wg, L) x3
+        return total                                     # (Wg, L, 1) x3
 
     def _combine_windows(self, wx, wy, wz):
-        """(W, L) window totals -> final point, MSB window first:
+        """(W, L, 1) window totals -> final (L, 1) point, MSB window first:
         acc = 2^c * acc + T_w."""
         G1 = self.G1
 
@@ -167,27 +175,26 @@ class MsmPlan:
                 acc = G1.add(acc, acc)
             t = tuple(c[w] for c in (wx, wy, wz))
             return G1.add(acc, t)
-        acc = self.G1.identity
         acc = jax.lax.fori_loop(
-            0, NUM_WINDOWS, lambda i, a: body(i, a), acc)
+            0, NUM_WINDOWS, body, self.G1.identity)
         return acc
 
     # -- public ------------------------------------------------------------------
 
     def msm_device(self, points, scalar_limbs):
-        """points: ((N,L),(N,L),(N,L)) projective Montgomery (the packed
-        SRS slice); scalar_limbs: (N, 16) canonical 16-bit limbs.
-        Returns a single projective device point."""
+        """points: ((L,N),(L,N),(L,N)) projective Montgomery (the packed
+        SRS slice); scalar_limbs: (16, N) canonical 16-bit limbs.
+        Returns a single projective device point (L, 1) x3."""
         px, py, pz = points
         if self.n_pad != self.n:
             pad = self.n_pad - self.n
-            ident = self.G1.broadcast_identity((pad,))
-            px = jnp.concatenate([px, ident[0]], axis=0)
-            py = jnp.concatenate([py, ident[1]], axis=0)
-            pz = jnp.concatenate([pz, ident[2]], axis=0)
+            ident = self.G1.broadcast_identity((), pad)
+            px = jnp.concatenate([px, ident[0]], axis=-1)
+            py = jnp.concatenate([py, ident[1]], axis=-1)
+            pz = jnp.concatenate([pz, ident[2]], axis=-1)
             scalar_limbs = jnp.concatenate(
-                [scalar_limbs, jnp.zeros((pad, scalar_limbs.shape[1]),
-                                         scalar_limbs.dtype)], axis=0)
+                [scalar_limbs, jnp.zeros((scalar_limbs.shape[0], pad),
+                                         scalar_limbs.dtype)], axis=-1)
         digits = self._digits(scalar_limbs)              # (32, n_pad)
         totals = []
         for g in range(0, NUM_WINDOWS, self.wg):
@@ -204,7 +211,7 @@ class MsmPlan:
         """Host convenience: scalars as Python ints -> affine host point."""
         limbs = self.Fr.pack(scalars_int, to_mont=False)
         out = self.msm_device(points, limbs)
-        return self.G1.unpack_points(tuple(c[None] for c in out))[0]
+        return self.G1.unpack_points(out)[0]
 
 
 @lru_cache(maxsize=None)

@@ -1,16 +1,21 @@
-"""Device radix-2 NTT over Fr (Montgomery limb representation).
+"""Device radix-2 NTT over Fr (Montgomery limb representation, limb-major).
 
 TPU-first design decisions (vs the reference's recursive host FFT in the
 unmounted poly-commit crate, usage reference src/prover.rs:121-124):
 
-* iterative Cooley-Tukey with a precomputed bit-reversal gather and one
-  twiddle table per stage — all shapes static, XLA-friendly;
+* iterative Cooley-Tukey with a precomputed bit-reversal gather; every
+  butterfly stage operates on the FLAT (..., L, n) array — the pairing
+  x[k+j] ± w^j x[k+j+m/2] is expressed as two static lane-rolls plus a
+  masked select, so the limb-major layout (ops/limb.py) is preserved and
+  no stage ever transposes or reshapes the element axis;
+* twiddles are per-stage patterns of length m (1 for the first half-block,
+  w_m^j for the second) tiled across the array, so each stage is ONE
+  batched Montgomery mul + elementwise selects;
 * ONE compiled kernel per domain size serves dft / idft / coset_dft /
   coset_idft: direction and coset are encoded entirely in the twiddle and
   pre/post scale *values*, which are runtime inputs (compile once, run all);
-* batched: (..., n, L) transforms amortize fixed cost (the prover runs the
-  4 wire iFFTs and 11 selector iFFTs as single batched calls);
-* scaling (1/n, coset powers) is folded into vector pre/post multiplies.
+* batched: (..., L, n) transforms amortize fixed cost (the prover runs the
+  4 wire iFFTs and 11 selector iFFTs as single batched calls).
 
 Differentially tested against poly/domain.py (the host oracle) in
 tests/test_device_ntt.py.
@@ -62,21 +67,26 @@ class NttPlan:
         g = FR_GENERATOR
         g_inv = pow(g, -1, R_MOD)
 
-        self.bitrev = jnp.asarray(_bitrev_indices(n))
+        # numpy: embeds as a trace-time constant (a captured device array
+        # costs ~3 ms per jitted call on axon — ops/limb.py)
+        self.bitrev = _bitrev_indices(n)
 
         def stage_twiddles(root):
+            """Per-stage (L, m) patterns: ones then w_m^j."""
             tws = []
             for s in range(1, k + 1):
                 m = 1 << s
                 wm = pow(root, n // m, R_MOD)
-                tws.append(F.pack(_powers(wm, m // 2)))
+                tws.append(F.pack([1] * (m // 2) + _powers(wm, m // 2)))
             return tws
 
         self.tw_fwd = stage_twiddles(w)
         self.tw_inv = stage_twiddles(w_inv)
+        # first-half-of-block masks per stage (static numpy)
+        self.masks = [(np.arange(n) % (1 << s)) < (1 << (s - 1))
+                      for s in range(1, k + 1)]
 
-        ones = [1] * n
-        self.scale_one = F.pack(ones)
+        self.scale_one = F.pack([1] * n)
         self.scale_n_inv = F.pack([n_inv] * n)
         self.scale_coset = F.pack(_powers(g, n))
         # coset_idft: iNTT then multiply by g^-i — fold n_inv in
@@ -88,22 +98,20 @@ class NttPlan:
     # -- the single compiled kernel ------------------------------------------
 
     def _transform(self, data, twiddles, pre_scale, post_scale):
-        """data (..., n, L) Montgomery -> transformed (..., n, L)."""
+        """data (..., L, n) Montgomery (limb-major) -> (..., L, n)."""
         F = self.F
         n = self.n
-        L = F.L
         x = F.mul(data, pre_scale)
-        x = jnp.take(x, self.bitrev, axis=-2)
-        lead = x.shape[:-2]
-        for tw in twiddles:
-            half = tw.shape[0]
-            m = 2 * half
-            x = x.reshape(lead + (n // m, m, L))
-            x0 = x[..., :half, :]
-            x1 = x[..., half:, :]
-            t = F.mul(x1, tw)
-            x = jnp.concatenate([F.add(x0, t), F.sub(x0, t)], axis=-2)
-            x = x.reshape(lead + (n, L))
+        x = jnp.take(x, self.bitrev, axis=-1)
+        for s, tw in enumerate(twiddles):
+            m = tw.shape[-1]
+            half = m // 2
+            tw_vec = jnp.tile(tw, n // m)                  # (L, n)
+            mask = self.masks[s]                           # (n,) bool
+            t = F.mul(x, tw_vec)
+            tr = jnp.roll(t, -half, axis=-1)               # t[j+half] at j
+            xl = jnp.roll(x, half, axis=-1)                # x[j-half] at j
+            x = F.select(mask, F.add(x, tr), F.sub(xl, t))
         return F.mul(x, post_scale)
 
     # -- public API (Montgomery limb arrays in and out) ------------------------

@@ -41,7 +41,7 @@ def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
     on every device (redundantly — cheaper than a second collective).
     Returns one replicated projective point.
     """
-    n_local = points[0].shape[0] // mesh.shape[axis]
+    n_local = points[0].shape[-1] // mesh.shape[axis]
     plan = MsmPlan(n_local)
     G1 = device_g1()
 
@@ -51,27 +51,25 @@ def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
         for g in range(0, NUM_WINDOWS, plan.wg):
             totals.append(plan._window_group_totals(
                 px, py, pz, digits[g:g + plan.wg]))
-        wx = jnp.concatenate([t[0] for t in totals], axis=0)  # (32, L)
+        wx = jnp.concatenate([t[0] for t in totals], axis=0)  # (32, L, 1)
         wy = jnp.concatenate([t[1] for t in totals], axis=0)
         wz = jnp.concatenate([t[2] for t in totals], axis=0)
-        gx = jax.lax.all_gather(wx, axis)                      # (D, 32, L)
+        gx = jax.lax.all_gather(wx, axis)                     # (D, 32, L, 1)
         gy = jax.lax.all_gather(wy, axis)
         gz = jax.lax.all_gather(wz, axis)
-        sx, sy, sz = G1.tree_reduce((gx, gy, gz))              # (32, L) each
+        sx, sy, sz = G1.tree_reduce((gx, gy, gz))             # (32, L, 1)
         # combine windows MSB-first: acc = 2^8 acc + T_w
-        out = plan._combine_windows(sx[::-1], sy[::-1], sz[::-1])
-        return tuple(c[None] for c in out)
+        return plan._combine_windows(sx[::-1], sy[::-1], sz[::-1])
 
     px, py, pz = points
-    spec_pt = P(axis, None)
+    spec_pt = P(None, axis)
     spec_out = P()
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(spec_pt, spec_pt, spec_pt, spec_pt),
         out_specs=(spec_out, spec_out, spec_out),
         check_vma=False)
-    ox, oy, oz = fn(px, py, pz, scalar_limbs)
-    return ox[0], oy[0], oz[0]
+    return fn(px, py, pz, scalar_limbs)
 
 
 def sharded_prover_step(mesh: Mesh, k: int, args):
@@ -82,34 +80,37 @@ def sharded_prover_step(mesh: Mesh, k: int, args):
     plan = ntt_plan(k)
     F = fr_field()
 
-    dom = NamedSharding(mesh, P(None, "shard", None))
-    pts = NamedSharding(mesh, P("shard", None))
+    dom = NamedSharding(mesh, P(None, None, "shard"))
+    pts = NamedSharding(mesh, P(None, "shard"))
 
     wires = jax.device_put(wires, dom)
     points = tuple(jax.device_put(c, pts) for c in points)
     scalars = jax.device_put(scalars, pts)
 
+    # NTT tables ride as ARGS (captured device arrays are re-bound per
+    # jitted call on axon — ops/limb.py)
+    nt = dict(fwd=plan.tw_fwd, inv=plan.tw_inv, one=plan.scale_one,
+              ninv=plan.scale_n_inv, coset=plan.scale_coset)
+
     @jax.jit
-    def step(wires, points, scalars):
+    def step(wires, points, scalars, nt):
         # round-1 style: evaluation -> coefficient form (domain-sharded)
-        polys = plan._transform(wires, plan.tw_inv, plan.scale_one,
-                                plan.scale_n_inv)
+        polys = plan._transform(wires, nt["inv"], nt["one"], nt["ninv"])
         polys = jax.lax.with_sharding_constraint(polys, dom)
         # round-3 style: back onto the coset
-        evals = plan._transform(polys, plan.tw_fwd, plan.scale_coset,
-                                plan.scale_one)
+        evals = plan._transform(polys, nt["fwd"], nt["coset"], nt["one"])
         evals = jax.lax.with_sharding_constraint(evals, dom)
         # next-gate wraparound: cross-shard permute
-        nxt = jnp.roll(evals, -1, axis=1)
+        nxt = jnp.roll(evals, -1, axis=-1)
         t = F.mul(F.add(evals, nxt), evals)
         # grand-product scan across the sharded domain
-        z = jax.lax.associative_scan(F.mul, F.add(t[0], plan.scale_one),
-                                     axis=0)
+        z = jax.lax.associative_scan(F.mul, F.add(t[0], nt["one"]),
+                                     axis=1)
         # round-1 style commit: partitioned MSM
         commit = msm_point_partitioned(mesh, "shard", points, scalars)
         return z, commit
 
     with mesh:
-        z, commit = step(wires, points, scalars)
+        z, commit = step(wires, points, scalars, nt)
         jax.block_until_ready((z, commit))
     return z, commit

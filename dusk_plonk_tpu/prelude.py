@@ -7,7 +7,7 @@ from .composer.composer import (
     InconsistentPublicInputsLen, ProofVerificationError, PairingCheckFailure,
 )
 from .composer.constraint import Constraint
-from .proving.keys import compile_circuit
+from .proving.keys import compile_circuit, compile_circuit_device
 from .proving.prover import Prover
 from .proving.verifier import Verifier
 from .proving.proof import Proof
@@ -28,6 +28,13 @@ class PlonkKey:
     def compile_with_circuit(params: PlonkParams, label: bytes, circuit):
         return compile_circuit(params, circuit, label)
 
+    @staticmethod
+    def compile_device(params: PlonkParams, circuit_cls,
+                       label: bytes = b"plonk"):
+        """Device (TPU) key compilation; returns a prover with the device
+        engine attached."""
+        return compile_circuit_device(params, circuit_cls(), label)
+
 
 __all__ = [
     "Plonk", "PlonkKey", "Prover", "Verifier", "Proof", "WitnessPoint",
@@ -35,4 +42,5 @@ __all__ = [
     "ChaCha12Rng", "fr_random", "BLS_SCALAR_MODULUS", "jubjub",
     "UnsupportedWNAF2k", "InconsistentPublicInputsLen",
     "ProofVerificationError", "PairingCheckFailure", "compile_circuit",
+    "compile_circuit_device",
 ]

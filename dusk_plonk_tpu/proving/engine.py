@@ -62,7 +62,7 @@ class DeviceOps:
         if key not in self._consts:
             spec = self.F.spec
             self._consts[key] = _int_to_limbs(
-                spec, key * spec.mont_r % spec.modulus)
+                spec, key * spec.mont_r % spec.modulus)[:, None]  # (L, 1)
         return jnp.asarray(self._consts[key])
 
 
@@ -79,7 +79,8 @@ class DeviceEngine:
     """Per-circuit compiled prover state (round kernels jit once, every
     subsequent proof reuses the compiled graphs)."""
 
-    def __init__(self, prover):
+    def __init__(self, prover, sel_polys=None, sigma_polys=None,
+                 srs=None, msm=None):
         pk = prover.prover_key
         self.prover = prover
         self.pk = pk
@@ -96,20 +97,29 @@ class DeviceEngine:
         self.plan_8n = ntt_plan(self.k8)
 
         # --- SRS on device -------------------------------------------------
-        powers = prover.keypair.powers
-        self.ns = len(powers)
-        self.srs = self.G1.pack_points(powers)
-        self.msm = MsmPlan(self.ns)
+        if srs is None:
+            powers = prover.keypair.powers
+            self.ns = len(powers)
+            self.srs = self.G1.pack_points(powers)
+            self.msm = MsmPlan(self.ns)
+        else:
+            self.srs = srs
+            self.ns = srs[0].shape[-1]
+            self.msm = msm if msm is not None else MsmPlan(self.ns)
 
         # --- key polynomials on device (n-degree coefficient form) ---------
-        sel_flat = []
-        for name in SEL_ORDER:
-            sel_flat.extend(pk.selector_polys[name])
-        self.sel_polys = F.pack(sel_flat).reshape(11, n, F.L)
-        sig_flat = []
-        for p in pk.sigma_polys:
-            sig_flat.extend(p)
-        self.sigma_polys = F.pack(sig_flat).reshape(4, n, F.L)
+        if sel_polys is None:
+            sel_flat = []
+            for name in SEL_ORDER:
+                sel_flat.extend(pk.selector_polys[name])
+            sel_polys = F.pack(sel_flat, shape=(11, n))
+        if sigma_polys is None:
+            sig_flat = []
+            for p in pk.sigma_polys:
+                sig_flat.extend(p)
+            sigma_polys = F.pack(sig_flat, shape=(4, n))
+        self.sel_polys = sel_polys
+        self.sigma_polys = sigma_polys
 
         # --- derived device tables (all computed on device) ----------------
         self._build_tables()
@@ -120,33 +130,36 @@ class DeviceEngine:
     def _build_tables(self):
         F, n, n8 = self.F, self.n, self.n8
 
-        @jax.jit
-        def build(sel_polys, sigma_polys):
-            pad8 = jnp.zeros((15, n8, F.L), jnp.uint32)
-            pad8 = pad8.at[:, :n].set(
-                jnp.concatenate([sel_polys, sigma_polys], axis=0))
-            t8 = self.plan_8n._transform(
-                pad8, self.plan_8n.tw_fwd, self.plan_8n.scale_coset,
-                self.plan_8n.scale_one)
-            sel8, sig8 = t8[:11], t8[11:]
-            # sigma evals over the n domain (round 2 denominators)
-            sig_n = self.plan_n._transform(
-                sigma_polys, self.plan_n.tw_fwd, self.plan_n.scale_one,
-                self.plan_n.scale_one)
-            # L1 over the 8n coset
-            e1 = jnp.zeros((n, F.L), jnp.uint32).at[0].set(
-                F.one_mont)
-            l1_poly = self.plan_n._transform(
-                e1, self.plan_n.tw_inv, self.plan_n.scale_one,
-                self.plan_n.scale_n_inv)
-            l1_pad = jnp.zeros((n8, F.L), jnp.uint32).at[:n].set(l1_poly)
-            l1_8 = self.plan_8n._transform(
-                l1_pad, self.plan_8n.tw_fwd, self.plan_8n.scale_coset,
-                self.plan_8n.scale_one)
-            return sel8, sig8, sig_n, l1_8
+        pn, p8 = self.plan_n, self.plan_8n
 
-        self.sel8, self.sig8, self.sigma_evals_n, self.l1_8 = build(
-            self.sel_polys, self.sigma_polys)
+        @jax.jit
+        def prep(sel_polys, sigma_polys):
+            """16 n-degree polys padded to 8n, emitted as 8 PAIRS (the
+            8n-NTT working set exceeds HBM for wide batches at k>=19):
+            slots 0-10 selectors, 11-14 sigmas, 15 the L1 polynomial."""
+            pad8 = jnp.zeros((16, F.L, n8), jnp.uint32)
+            pad8 = pad8.at[:15, :, :n].set(
+                jnp.concatenate([sel_polys, sigma_polys], axis=0))
+            e1 = jnp.zeros((F.L, n), jnp.uint32).at[:, 0].set(
+                F.one_mont[:, 0])
+            l1_poly = pn._transform(
+                e1, pn.tw_inv, pn.scale_one, pn.scale_n_inv)
+            pad8 = pad8.at[15, :, :n].set(l1_poly)
+            # sigma evals over the n domain (round 2 denominators)
+            sig_n = pn._transform(
+                sigma_polys, pn.tw_fwd, pn.scale_one, pn.scale_one)
+            return tuple(pad8[2 * i:2 * i + 2] for i in range(8)), sig_n
+
+        pairs, self.sigma_evals_n = prep(self.sel_polys, self.sigma_polys)
+        evs = [p8._kernel(p, p8.tw_fwd, p8.scale_coset, p8.scale_one)
+               for p in pairs]
+
+        @jax.jit
+        def assemble(evs):
+            all16 = jnp.concatenate(evs, axis=0)
+            return all16[:11], all16[11:15], all16[15]
+
+        self.sel8, self.sig8, self.l1_8 = assemble(evs)
 
         # coset vanishing inverse: (g w8n^i)^n - 1 is periodic with period
         # n8/n (w8n^(n·i) cycles); invert the few distinct values on host
@@ -158,8 +171,8 @@ class DeviceEngine:
         for _ in range(period):
             vals.append(pow((cur - 1) % R_MOD, -1, R_MOD))
             cur = cur * w_n % R_MOD
-        tile = F.pack(vals)
-        self.vh_inv8 = jnp.tile(tile, (n8 // period, 1))
+        tile = F.pack(vals)                                # (L, period)
+        self.vh_inv8 = jnp.tile(tile, (1, n8 // period))
 
         # linear table X over the coset: g * w8n^i — geometric ladder
         w8 = F.pack_scalar(fr_root_of_unity(self.k8))
@@ -177,7 +190,25 @@ class DeviceEngine:
         def roots_ladder():
             return F.powers(wn, n)
         self.roots_n = roots_ladder()
-        self.ks = F.pack([1, PERM_K1, PERM_K2, PERM_K3]).reshape(4, 1, F.L)
+        import numpy as _np
+        self.ks = _np.stack([_int_to_limbs(
+            F.spec, v * F.spec.mont_r % F.spec.modulus)[:, None]
+            for v in (1, PERM_K1, PERM_K2, PERM_K3)])      # (4, L, 1) numpy
+
+        # device tables bundled as ONE pytree passed to every jitted round
+        # fn as an ARGUMENT: a captured device array is re-bound per call
+        # (~3 ms each on axon), an argument is a pointer (ops/limb.py).
+        pn, p8 = self.plan_n, self.plan_8n
+        self.tb = dict(
+            sel8=self.sel8, sig8=self.sig8, lin8=self.lin8,
+            vh_inv8=self.vh_inv8, l1_8=self.l1_8, roots_n=self.roots_n,
+            sigma_evals_n=self.sigma_evals_n,
+            sel_polys=self.sel_polys, sigma_polys=self.sigma_polys,
+            n_fwd=pn.tw_fwd, n_inv=pn.tw_inv, n_one=pn.scale_one,
+            n_ninv=pn.scale_n_inv,
+            e_fwd=p8.tw_fwd, e_inv=p8.tw_inv, e_one=p8.scale_one,
+            e_coset=p8.scale_coset, e_cosetinv=p8.scale_coset_inv,
+        )
 
     # -- jitted round kernels -------------------------------------------------
 
@@ -186,58 +217,71 @@ class DeviceEngine:
         ops = self.ops
 
         def blind_into(poly, blinders, width):
-            """Place an n-coeff poly into a width buffer and add
-            (sum b_i X^i)(X^n - 1); blinders (h+1, L)."""
-            buf = jnp.zeros(poly.shape[:-2] + (width, F.L), jnp.uint32)
-            buf = buf.at[..., :n, :].set(poly)
-            h1 = blinders.shape[-2]
+            """Place an n-coeff poly (..., L, n) into a width buffer and add
+            (sum b_i X^i)(X^n - 1); blinders (..., L, h+1)."""
+            buf = jnp.zeros(poly.shape[:-1] + (width,), jnp.uint32)
+            buf = buf.at[..., :n].set(poly)
+            h1 = blinders.shape[-1]
             for i in range(h1):
-                b = blinders[..., i, :]
-                buf = buf.at[..., n + i, :].set(
-                    F.add(buf[..., n + i, :], b))
-                buf = buf.at[..., i, :].set(F.sub(buf[..., i, :], b))
+                b = blinders[..., i:i + 1]                # (..., L, 1)
+                buf = buf.at[..., n + i:n + i + 1].set(
+                    F.add(buf[..., n + i:n + i + 1], b))
+                buf = buf.at[..., i:i + 1].set(
+                    F.sub(buf[..., i:i + 1], b))
             return buf
 
-        def round1(wire_vals, blinders):
+        def round1(tb, wire_vals, blinders):
             polys = self.plan_n._transform(
-                wire_vals, self.plan_n.tw_inv, self.plan_n.scale_one,
-                self.plan_n.scale_n_inv)
+                wire_vals, tb["n_inv"], tb["n_one"], tb["n_ninv"])
             bufs = blind_into(polys, blinders, ns)
             return bufs, F.from_mont(bufs)
 
-        def round2(wire_vals, beta, gamma, blinders):
-            bx = F.mul(beta, self.roots_n)                    # (n, L)
+        def round2(tb, wire_vals, beta, gamma, blinders):
+            bx = F.mul(beta, tb["roots_n"])                   # (L, n)
             num = F.add(F.add(wire_vals, F.mul(self.ks, bx)), gamma)
             den = F.add(F.add(wire_vals,
-                              F.mul(beta, self.sigma_evals_n)), gamma)
+                              F.mul(beta, tb["sigma_evals_n"])), gamma)
             nprod = F.mul(F.mul(num[0], num[1]), F.mul(num[2], num[3]))
             dprod = F.mul(F.mul(den[0], den[1]), F.mul(den[2], den[3]))
             ratio = F.mul(nprod, F.batch_inv(dprod))
-            incl = jax.lax.associative_scan(F.mul, ratio, axis=0)
+            incl = jax.lax.associative_scan(F.mul, ratio,
+                                            axis=ratio.ndim - 1)
             z = jnp.concatenate(
-                [jnp.broadcast_to(F.one_mont, (1, F.L)), incl[:n - 1]],
-                axis=0)
+                [F.one_mont, incl[..., :n - 1]], axis=-1)
             z_poly = self.plan_n._transform(
-                z, self.plan_n.tw_inv, self.plan_n.scale_one,
-                self.plan_n.scale_n_inv)
+                z, tb["n_inv"], tb["n_one"], tb["n_ninv"])
             buf = blind_into(z_poly, blinders, ns)
             return buf, F.from_mont(buf)
 
-        def round3(wire_polys, z_poly, pi_dense, ch):
+        def round3(tb, wire_polys, z_poly, pi_dense, ch):
             pi_poly = self.plan_n._transform(
-                pi_dense, self.plan_n.tw_inv, self.plan_n.scale_one,
-                self.plan_n.scale_n_inv)
-            batch = jnp.zeros((6, n8, F.L), jnp.uint32)
-            batch = batch.at[0, :ns].set(z_poly)
-            batch = batch.at[1:5, :ns].set(wire_polys)
-            batch = batch.at[5, :n].set(pi_poly)
-            ev = self.plan_8n._transform(
-                batch, self.plan_8n.tw_fwd, self.plan_8n.scale_coset,
-                self.plan_8n.scale_one)
-            z8, a8, b8, c8, d8, pi8 = (ev[i] for i in range(6))
-            nx = lambda x: jnp.roll(x, -8, axis=0)
-            a_n, b_n, d_n, z_n = nx(a8), nx(b8), nx(d8), nx(z8)
-            s = {name: self.sel8[i] for i, name in enumerate(SEL_ORDER)}
+                pi_dense, tb["n_inv"], tb["n_one"], tb["n_ninv"])
+            batch = jnp.zeros((6, F.L, n8), jnp.uint32)
+            batch = batch.at[0, :, :ns].set(z_poly)
+            batch = batch.at[1:5, :, :ns].set(wire_polys)
+            batch = batch.at[5, :, :n].set(pi_poly)
+            # pairs keep the 8n-NTT working set under HBM (XLA does not
+            # reuse stage buffers across a wide batch: 6-wide at k=19
+            # plans 21 GB and aborts; 2-wide fits)
+            return batch[0:2], batch[2:4], batch[4:6]
+
+        # the fused widget chain allocates ~60 (L, E, ...) product temps
+        # with no buffer reuse (axon allocator) — chunk the 8n domain so
+        # each dispatch's working set fits HBM; ONE executable serves all
+        # chunks (the start offset is a traced scalar)
+        E = n8 if n8 <= (1 << 15) else n8 // 16
+        self.quotient_chunk = E
+
+        def round3b(tb, ev0, ev1, ev2, rolled, ch, start):
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, start, E, axis=-1)
+            z8, a8 = sl(ev0[0]), sl(ev0[1])
+            b8, c8 = sl(ev1[0]), sl(ev1[1])
+            d8, pi8 = sl(ev2[0]), sl(ev2[1])
+            z_n, a_n = sl(rolled[0][0]), sl(rolled[0][1])
+            b_n, d_n = sl(rolled[1][0]), sl(rolled[2][0])
+            s = {name: sl(tb["sel8"][i])
+                 for i, name in enumerate(SEL_ORDER)}
 
             t = widgets.arithmetic_quotient(
                 ops, s["q_m"], s["q_l"], s["q_r"], s["q_o"], s["q_c"],
@@ -254,68 +298,74 @@ class DeviceEngine:
             t = F.add(t, widgets.variable_base_quotient(
                 ops, s["q_variable_group_add"], ch["var_base_sep"],
                 a8, a_n, b8, b_n, c8, d8, d_n))
-            l1_alpha_sq = F.mul(self.l1_8,
+            l1_alpha_sq = F.mul(sl(tb["l1_8"]),
                                 F.mul(ch["alpha"], ch["alpha"]))
+            sg = tb["sig8"]
             t = F.add(t, widgets.permutation_quotient(
-                ops, self.lin8, self.sig8[0], self.sig8[1], self.sig8[2],
-                self.sig8[3], a8, b8, c8, d8, z8, z_n,
+                ops, sl(tb["lin8"]), sl(sg[0]), sl(sg[1]), sl(sg[2]),
+                sl(sg[3]), a8, b8, c8, d8, z8, z_n,
                 ch["alpha"], l1_alpha_sq, ch["beta"], ch["gamma"]))
-            t = F.mul(t, self.vh_inv8)
-            t_coeffs = self.plan_8n._transform(
-                t, self.plan_8n.tw_inv, self.plan_8n.scale_one,
-                self.plan_8n.scale_coset_inv)
+            t = F.mul(t, sl(tb["vh_inv8"]))
+            return t
 
+        def roll8(pair):
+            return jnp.roll(pair, -8, axis=-1)
+
+        def concat_t(chunks):
+            return jnp.concatenate(chunks, axis=-1)
+
+        def round3c(tb, t_coeffs):
             # SRS-degree check (reference errors at t_4 commit for
             # unsatisfiable witnesses — the negative-test path)
-            tail_bad = jnp.any(t_coeffs[3 * n + ns:] != 0)
+            tail_bad = jnp.any(t_coeffs[..., 3 * n + ns:] != 0)
 
-            chunks = jnp.zeros((4, ns, F.L), jnp.uint32)
-            chunks = chunks.at[0, :n].set(t_coeffs[0:n])
-            chunks = chunks.at[1, :n].set(t_coeffs[n:2 * n])
-            chunks = chunks.at[2, :n].set(t_coeffs[2 * n:3 * n])
-            chunks = chunks.at[3].set(t_coeffs[3 * n:3 * n + ns])
-            return t_coeffs, chunks, F.from_mont(chunks), tail_bad
+            chunks = jnp.zeros((4, F.L, ns), jnp.uint32)
+            chunks = chunks.at[0, :, :n].set(t_coeffs[..., 0:n])
+            chunks = chunks.at[1, :, :n].set(t_coeffs[..., n:2 * n])
+            chunks = chunks.at[2, :, :n].set(t_coeffs[..., 2 * n:3 * n])
+            chunks = chunks.at[3].set(t_coeffs[..., 3 * n:3 * n + ns])
+            return chunks, F.from_mont(chunks), tail_bad
 
-        def evals_fn(wire_polys, z_poly, chunks, z_ch, zw):
+        def evals_fn(tb, wire_polys, z_poly, chunks, z_ch, zw):
             powz = F.powers(z_ch, ns)
             powzw = F.powers(zw, ns)
             # at z: a,b,c,d, sigma1..3, q_arith,q_c,q_l,q_r (11 polys)
-            sig_pad = jnp.zeros((3, ns, F.L), jnp.uint32).at[:, :n].set(
-                self.sigma_polys[:3])
+            sig_pad = jnp.zeros((3, F.L, ns), jnp.uint32).at[:, :, :n].set(
+                tb["sigma_polys"][:3])
             sel_idx = [SEL_ORDER.index(k)
                        for k in ("q_arith", "q_c", "q_l", "q_r")]
-            sel_pad = jnp.zeros((4, ns, F.L), jnp.uint32).at[:, :n].set(
-                self.sel_polys[jnp.asarray(sel_idx)])
+            sel_pad = jnp.zeros((4, F.L, ns), jnp.uint32).at[:, :, :n].set(
+                tb["sel_polys"][jnp.asarray(sel_idx)])
             at_z = jnp.concatenate([wire_polys, sig_pad, sel_pad], axis=0)
-            ev_z = F.dot(at_z, powz)                          # (11, L)
+            ev_z = F.dot(at_z, powz)                          # (11, L, 1)
             at_zw = jnp.concatenate([wire_polys[jnp.asarray([0, 1, 3])],
                                      z_poly[None]], axis=0)
-            ev_zw = F.dot(at_zw, powzw)                       # (4, L)
+            ev_zw = F.dot(at_zw, powzw)                       # (4, L, 1)
             # t_eval: fold chunks by z^n powers, then evaluate (ns >= n+7
             # always — trim keeps degree+7 powers, kzg/srs.py)
-            zn = powz[n]
+            zn = powz[..., n:n + 1]                           # (L, 1)
             z2n = F.mul(zn, zn)
             z3n = F.mul(z2n, zn)
-            w_ = jnp.stack([F.one_mont, zn, z2n, z3n])        # (4, L)
-            quot = F.sum_reduce(F.mul(chunks, w_[:, None, :]), axis=0)
+            w_ = jnp.stack([F.one_mont, zn, z2n, z3n])        # (4, L, 1)
+            quot = F.sum_reduce(F.mul(chunks, w_), axis=0)    # (L, ns)
             t_eval = F.dot(quot, powz)
             return ev_z, ev_zw, t_eval, quot, powz
 
-        def rpoly_fn(z_poly, lin_scalars, powz):
-            srcs = jnp.zeros((12, ns, F.L), jnp.uint32)
+        def rpoly_fn(tb, z_poly, lin_scalars, powz):
+            srcs = jnp.zeros((12, F.L, ns), jnp.uint32)
             order_idx = [SEL_ORDER.index(k) for k in LIN_ORDER[:10]]
-            srcs = srcs.at[:10, :n].set(self.sel_polys[jnp.asarray(order_idx)])
+            srcs = srcs.at[:10, :, :n].set(
+                tb["sel_polys"][jnp.asarray(order_idx)])
             srcs = srcs.at[10].set(z_poly)
-            srcs = srcs.at[11, :n].set(self.sigma_polys[3])
-            r = F.sum_reduce(
-                F.mul(srcs, lin_scalars[:, None, :]), axis=0)  # (ns, L)
+            srcs = srcs.at[11, :, :n].set(tb["sigma_polys"][3])
+            r = F.sum_reduce(F.mul(srcs, lin_scalars), axis=0)  # (L, ns)
             r_eval = F.dot(r, powz)
             return r, r_eval
 
         def divide_out(folded, point):
             """(folded - folded(point)) / (X - point) via affine-map scan:
             acc_k = point*acc_{k-1} + g_k over reversed coefficients."""
-            g = folded[::-1]
+            g = folded[..., ::-1]
             a = jnp.broadcast_to(point, g.shape)
 
             def combine(e1, e2):
@@ -323,32 +373,37 @@ class DeviceEngine:
                 a2, b2 = e2
                 return F.mul(a1, a2), F.add(F.mul(b1, a2), b2)
 
-            _, accs = jax.lax.associative_scan(combine, (a, g), axis=0)
-            q = accs[:-1][::-1]                               # (len-1, L)
+            _, accs = jax.lax.associative_scan(combine, (a, g),
+                                               axis=g.ndim - 1)
+            q = accs[..., :-1][..., ::-1]                     # (L, len-1)
             return jnp.concatenate(
-                [q, jnp.zeros((1, F.L), jnp.uint32)], axis=0)
+                [q, jnp.zeros((F.L, 1), jnp.uint32)], axis=-1)
 
-        def openings_fn(quot, r_poly, wire_polys, z_poly,
+        def openings_fn(tb, quot, r_poly, wire_polys, z_poly,
                         z_ch, zw, v1, v2):
-            sig_pad = jnp.zeros((3, ns, F.L), jnp.uint32).at[:, :n].set(
-                self.sigma_polys[:3])
+            sig_pad = jnp.zeros((3, F.L, ns), jnp.uint32).at[:, :, :n].set(
+                tb["sigma_polys"][:3])
             group1 = jnp.concatenate(
                 [quot[None], r_poly[None], wire_polys, sig_pad], axis=0)
-            w1 = F.powers(v1, 9)                              # (9, L)
-            folded1 = F.sum_reduce(F.mul(group1, w1[:, None, :]), axis=0)
+            w1 = jnp.moveaxis(F.powers(v1, 9), -1, 0)[..., None]  # (9, L, 1)
+            folded1 = F.sum_reduce(F.mul(group1, w1), axis=0)
             agg1 = divide_out(folded1, z_ch)
 
             group2 = jnp.concatenate(
                 [z_poly[None], wire_polys[jnp.asarray([0, 1, 3])]], axis=0)
-            w2 = F.powers(v2, 4)
-            folded2 = F.sum_reduce(F.mul(group2, w2[:, None, :]), axis=0)
+            w2 = jnp.moveaxis(F.powers(v2, 4), -1, 0)[..., None]
+            folded2 = F.sum_reduce(F.mul(group2, w2), axis=0)
             agg2 = divide_out(folded2, zw)
             both = jnp.stack([agg1, agg2])
             return both, F.from_mont(both)
 
         self._round1 = jax.jit(round1)
         self._round2 = jax.jit(round2)
-        self._round3 = jax.jit(round3)
+        self._round3a = jax.jit(round3)
+        self._round3b = jax.jit(round3b)
+        self._round3c = jax.jit(round3c)
+        self._roll8 = jax.jit(roll8)
+        self._concat_t = jax.jit(concat_t)
         self._evals = jax.jit(evals_fn)
         self._rpoly = jax.jit(rpoly_fn)
         self._openings = jax.jit(openings_fn)
@@ -356,9 +411,9 @@ class DeviceEngine:
     # -- helpers ----------------------------------------------------------------
 
     def _commit(self, canon_coeffs):
-        """canon_coeffs (ns, 16) -> affine host point."""
+        """canon_coeffs (16, ns) -> affine host point."""
         out = self.msm.msm_device(self.srs, canon_coeffs)
-        return self.G1.unpack_points(tuple(c[None] for c in out))[0]
+        return self.G1.unpack_points(out)[0]
 
     def _commit_batch(self, canon_list):
         return [self._commit(c) for c in canon_list]
@@ -366,10 +421,20 @@ class DeviceEngine:
     # -- the proof --------------------------------------------------------------
 
     def create_proof(self, prover, rng, circuit):
+        import time as _time
         F, n, ns = self.F, self.n, self.ns
+        tm = {}
+        _t0 = _time.perf_counter()
+
+        def _mark(label):
+            nonlocal _t0
+            now = _time.perf_counter()
+            tm[label] = now - _t0
+            _t0 = now
 
         cs = Plonk.initialize()
         circuit.synthesize(cs)
+        _mark("synthesize")
 
         transcript = prover.transcript.clone()
 
@@ -385,26 +450,29 @@ class DeviceEngine:
         for col in ("w_a", "w_b", "w_o", "w_d"):
             vals = [cs.witness[getattr(c, col)] for c in cs.constraints]
             flat.extend(vals + [0] * (n - len(vals)))
-        wire_vals = F.pack(flat).reshape(4, n, F.L)
+        wire_vals = F.pack(flat, shape=(4, n))
+        _mark("wire_pack")
 
         blinders1 = F.pack(
-            [fr_random(rng) for _ in range(4 * 2)]).reshape(4, 2, F.L)
-        wire_polys, wire_canon = self._round1(wire_vals, blinders1)
+            [fr_random(rng) for _ in range(4 * 2)], shape=(4, 2))
+        wire_polys, wire_canon = self._round1(self.tb, wire_vals, blinders1)
         commits = self._commit_batch(list(wire_canon))
         for label, comm in zip((b"a_w", b"b_w", b"c_w", b"d_w"), commits):
             transcript.append_commitment(label, comm)
         a_comm, b_comm, c_comm, d_comm = commits
+        _mark("round1")
 
         # ---- round 2 ------------------------------------------------------
         beta = transcript.challenge_scalar(b"beta")
         transcript.append_scalar(b"beta", beta)
         gamma = transcript.challenge_scalar(b"gamma")
-        blinders2 = F.pack(
-            [fr_random(rng) for _ in range(3)]).reshape(3, F.L)
+        blinders2 = F.pack([fr_random(rng) for _ in range(3)])  # (L, 3)
         z_poly, z_canon = self._round2(
-            wire_vals, F.pack_scalar(beta), F.pack_scalar(gamma), blinders2)
+            self.tb, wire_vals, F.pack_scalar(beta), F.pack_scalar(gamma),
+            blinders2)
         z_comm = self._commit(z_canon)
         transcript.append_commitment(b"z", z_comm)
+        _mark("round2")
 
         # ---- round 3 ------------------------------------------------------
         alpha = transcript.challenge_scalar(b"alpha")
@@ -422,20 +490,34 @@ class DeviceEngine:
                        var_base_sep=var_base_sep)
         ch = {k: F.pack_scalar(v) for k, v in ch_host.items()}
 
-        t_coeffs, chunks, chunks_canon, tail_bad = self._round3(
-            wire_polys, z_poly, pi_dense, ch)
+        pairs = self._round3a(self.tb, wire_polys, z_poly, pi_dense, ch)
+        tbv = self.tb
+        evs = [self.plan_8n._kernel(p, tbv["e_fwd"], tbv["e_coset"],
+                                    tbv["e_one"]) for p in pairs]
+        # next-gate values: one roll dispatch per pair (z,a | b,c | d,pi)
+        rolled = [self._roll8(e) for e in evs]
+        E = self.quotient_chunk
+        t_parts = [self._round3b(self.tb, evs[0], evs[1], evs[2], rolled,
+                                 ch, np.int32(c * E))
+                   for c in range(self.n8 // E)]
+        t_evals = t_parts[0] if len(t_parts) == 1 else \
+            self._concat_t(t_parts)
+        t_coeffs = self.plan_8n._kernel(
+            t_evals, tbv["e_inv"], tbv["e_one"], tbv["e_cosetinv"])
+        chunks, chunks_canon, tail_bad = self._round3c(self.tb, t_coeffs)
         if bool(jax.device_get(tail_bad)):
             raise Error("polynomial degree exceeds SRS (unsatisfied circuit)")
         t_commits = self._commit_batch(list(chunks_canon))
         for label, comm in zip((b"t_low", b"t_mid", b"t_high", b"t_4"),
                                t_commits):
             transcript.append_commitment(label, comm)
+        _mark("round3")
 
         # ---- rounds 4+5 ----------------------------------------------------
         z_challenge = transcript.challenge_scalar(b"z_challenge")
         zw = z_challenge * self.pk.domain.generator % R_MOD
         ev_z, ev_zw, t_eval_dev, quot, powz = self._evals(
-            wire_polys, z_poly, chunks,
+            self.tb, wire_polys, z_poly, chunks,
             F.pack_scalar(z_challenge), F.pack_scalar(zw))
 
         ez = F.unpack(ev_z)
@@ -450,16 +532,18 @@ class DeviceEngine:
             "a_next_eval": ezw[0], "b_next_eval": ezw[1],
             "d_next_eval": ezw[2], "perm_eval": ezw[3],
         }
-        t_eval = F.unpack(t_eval_dev[None])[0]
+        t_eval = F.unpack(t_eval_dev)[0]
+        _mark("evals")
 
         z_h_eval = (pow(z_challenge, n, R_MOD) - 1) % R_MOD
         l1_eval = compute_first_lagrange_eval(n, z_h_eval, z_challenge)
         scalars = widgets.linearization_scalars(
             evals, ch_host, l1_eval, z_challenge)
         assert tuple(k for k, _ in scalars) == LIN_ORDER
-        lin_scalars = F.pack([s for _, s in scalars]).reshape(12, F.L)
-        r_poly, r_eval_dev = self._rpoly(z_poly, lin_scalars, powz)
-        evals["r_poly_eval"] = F.unpack(r_eval_dev[None])[0]
+        lin_scalars = F.pack([s for _, s in scalars], shape=(12, 1))
+        r_poly, r_eval_dev = self._rpoly(self.tb, z_poly, lin_scalars, powz)
+        evals["r_poly_eval"] = F.unpack(r_eval_dev)[0]
+        _mark("rpoly")
 
         for label, key in EVAL_TRANSCRIPT_ORDER:
             transcript.append_scalar(label, evals[key])
@@ -471,11 +555,13 @@ class DeviceEngine:
         v_challenge = transcript.challenge_scalar(b"v_challenge")
         v_shifted = transcript.challenge_scalar(b"v_challenge")
         aggs, aggs_canon = self._openings(
-            quot, r_poly, wire_polys, z_poly,
+            self.tb, quot, r_poly, wire_polys, z_poly,
             F.pack_scalar(z_challenge), F.pack_scalar(zw),
             F.pack_scalar(v_challenge), F.pack_scalar(v_shifted))
         w_z_chall_comm = self._commit(aggs_canon[0])
         w_z_chall_w_comm = self._commit(aggs_canon[1])
+        _mark("openings")
+        self.last_timings = tm
 
         proof = Proof(
             a_comm=a_comm, b_comm=b_comm, c_comm=c_comm, d_comm=d_comm,

@@ -134,3 +134,97 @@ def compile_circuit(params, circuit, label: bytes = b"plonk"):
     verifier = Verifier(label, verifier_key, trimmed.verification_key(),
                         cs.public_input_indexes(), n, m)
     return prover, verifier
+
+
+def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
+    """Device key compilation: the one-time preprocessing job on TPU
+    (reference src/key.rs:63-327 — 11 selector iFFTs, 4 sigma iFFTs and 15
+    MSM commits all run as batched device kernels; the 8n coset tables are
+    then built lazily by DeviceEngine).  Returns (prover-with-engine,
+    verifier); the prover's host oracle path is unavailable (the ProvingKey
+    carries no host tables)."""
+    from .prover import Prover
+    from .verifier import Verifier
+    from .engine import DeviceEngine
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ..fields.constants import PERM_K1, PERM_K2, PERM_K3
+    from ..fields.host import fr_root_of_unity
+    from ..ops.limb import fr_field
+    from ..ops.ntt import ntt_plan
+    from ..ops.ec import device_g1
+    from ..ops.msm import MsmPlan
+
+    cs = Plonk.initialize()
+    circuit.synthesize(cs)
+
+    m = cs.m()
+    n = next_pow2(m)
+    k = n.bit_length() - 1
+    trimmed = params.trim(next_pow2(m + 6))
+    domain = Domain(k)
+    x8n = next_pow2(8 * n)
+    domain_8n = Domain(x8n.bit_length() - 1)
+
+    F = fr_field()
+    G1 = device_g1()
+    plan = ntt_plan(k)
+
+    flat = []
+    for name in SELECTOR_NAMES:
+        attr = {"q_4": "q_d"}.get(name, name)
+        col = [getattr(c, attr) for c in cs.constraints]
+        flat.extend(col + [0] * (n - len(col)))
+    cols = F.pack(flat, shape=(11, n))
+
+    sigmas = cs.perm.compute_sigma_permutations(n)
+    col_idx = jnp.asarray(np.array(
+        [[c for (c, g) in s] for s in sigmas], np.int32))     # (4, n)
+    gate_idx = jnp.asarray(np.array(
+        [[g for (c, g) in s] for s in sigmas], np.int32))
+    ks = F.pack([1, PERM_K1, PERM_K2, PERM_K3])               # (L, 4)
+    wn = F.pack_scalar(fr_root_of_unity(k))
+    ns = len(trimmed.powers)
+
+    @jax.jit
+    def build(cols, col_idx, gate_idx):
+        sel_polys = plan._transform(cols, plan.tw_inv, plan.scale_one,
+                                    plan.scale_n_inv)
+        roots = F.powers(wn, n)                               # (L, n)
+        sig_lagrange = F.mul(
+            jnp.moveaxis(ks[:, col_idx], 0, 1),               # (4, L, n)
+            jnp.moveaxis(roots[:, gate_idx], 0, 1))
+        sigma_polys = plan._transform(sig_lagrange, plan.tw_inv,
+                                      plan.scale_one, plan.scale_n_inv)
+        all15 = jnp.concatenate([sel_polys, sigma_polys], axis=0)
+        canon = jnp.zeros((15, F.L, ns), jnp.uint32).at[:, :, :n].set(
+            F.from_mont(all15))
+        return sel_polys, sigma_polys, canon
+
+    sel_polys, sigma_polys, canon = build(cols, col_idx, gate_idx)
+
+    srs = G1.pack_points(trimmed.powers)
+    msm = MsmPlan(ns)
+    commitments = {}
+    for i, name in enumerate(SELECTOR_NAMES + SIGMA_NAMES):
+        out = msm.msm_device(srs, canon[i])
+        commitments[name] = G1.unpack_points(out)[0]
+
+    verifier_key = VerificationKey(
+        n=m, n_inv=domain.size_inv, generator=domain.generator,
+        generator_inv=domain.generator_inv, commitments=commitments)
+    prover_key = ProvingKey(
+        n=n, domain=domain, domain_8n=domain_8n,
+        selector_polys=None, sigma_polys=None, selector_evals_8n=None,
+        sigma_evals_8n=None, linear_evals_8n=None, v_h_coset_8n=None,
+        v_h_coset_8n_inv=None)
+
+    prover = Prover(label, trimmed, prover_key, verifier_key, n, m)
+    prover.use_device_engine(DeviceEngine(
+        prover, sel_polys=sel_polys, sigma_polys=sigma_polys,
+        srs=srs, msm=msm))
+    verifier = Verifier(label, verifier_key, trimmed.verification_key(),
+                        cs.public_input_indexes(), n, m)
+    return prover, verifier

@@ -84,6 +84,6 @@ def test_broadcasting():
     s = F.pack_scalar(3)
     assert F.unpack(F.mul(a, s)) == [15, 21, 33]
     # 2D batch
-    m = F.pack([1, 2, 3, 4]).reshape(2, 2, 16)
+    m = F.pack([1, 2, 3, 4], shape=(2, 2))
     out = F.unpack(F.mul(m, s))
     assert out == [3, 6, 9, 12]

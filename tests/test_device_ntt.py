@@ -43,8 +43,8 @@ def test_ntt_batched():
     plan = ntt_plan(k)
     F = fr_field()
     flat = [v for row in rows for v in row]
-    batched = F.pack(flat).reshape(3, n, F.L)
+    batched = F.pack(flat, shape=(3, n))
     out = plan.dft(batched)
-    got = F.unpack(out.reshape(3 * n, F.L))
+    got = F.unpack(out)
     expected = [v for row in rows for v in dom.dft(row)]
     assert got == expected

@@ -55,5 +55,5 @@ def test_msm_partitioned_matches_host():
         out = jax.jit(
             lambda p, s: msm_point_partitioned(mesh, "shard", p, s)
         )(points, limbs)
-    got = G1.unpack_points(tuple(c[None] for c in out))[0]
+    got = G1.unpack_points(out)[0]
     assert got == expected
