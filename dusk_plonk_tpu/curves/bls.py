@@ -122,7 +122,9 @@ def g1_mul(p, k: int):
 def g1_msm(points, scalars):
     """Host Pippenger multi-scalar multiplication (the exactness oracle for
     the device MSM; also `msm_curve_addition` usage at reference
-    src/prover/proof.rs:507)."""
+    src/prover/proof.rs:507).  Routes to the C++ engine when available."""
+    if _native is not None:
+        return _native.g1_msm(list(points), list(scalars))
     pairs = [(p, s % R_MOD) for p, s in zip(points, scalars)
              if p is not None and s % R_MOD != 0]
     if not pairs:
@@ -241,3 +243,11 @@ def g2_mul(p, k: int):
         base = g2_add(base, base)
         k >>= 1
     return acc
+
+
+try:
+    from .. import native as _native
+    if not _native.available():
+        _native = None
+except Exception:  # pragma: no cover
+    _native = None

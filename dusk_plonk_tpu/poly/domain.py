@@ -80,11 +80,16 @@ class Domain:
     def dft(self, coeffs: list[int]) -> list[int]:
         a = list(coeffs[: self.size])
         a += [0] * (self.size - len(a))
+        if _native is not None:
+            return _native.fr_ntt(a, self.generator)
         return _fft_in_place(a, self.generator)
 
     def idft(self, evals: list[int]) -> list[int]:
         a = list(evals[: self.size])
         a += [0] * (self.size - len(a))
+        if _native is not None:
+            a = _native.fr_ntt(a, self.generator_inv)
+            return _native.fr_scale_geo(a, self.size_inv, 1)
         a = _fft_in_place(a, self.generator_inv)
         return [x * self.size_inv % R_MOD for x in a]
 
@@ -92,6 +97,10 @@ class Domain:
         """Evaluate over the coset g*H: scale coeff i by g^i, then DFT."""
         a = list(coeffs[: self.size])
         a += [0] * (self.size - len(a))
+        if _native is not None:
+            return _native.fr_ntt(
+                _native.fr_scale_geo(a, 1, self.coset_shift),
+                self.generator)
         g = 1
         scaled = []
         for c in a:
@@ -101,6 +110,8 @@ class Domain:
 
     def coset_idft(self, evals: list[int]) -> list[int]:
         a = self.idft(evals)
+        if _native is not None:
+            return _native.fr_scale_geo(a, 1, self.coset_shift_inv)
         g = 1
         out = []
         for c in a:
@@ -119,3 +130,11 @@ class Domain:
             out.append((acc - 1) % R_MOD)
             acc = acc * w_n % R_MOD
         return out
+
+
+try:
+    from .. import native as _native
+    if not _native.available():
+        _native = None
+except Exception:  # pragma: no cover
+    _native = None

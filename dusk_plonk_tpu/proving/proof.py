@@ -30,6 +30,54 @@ EVAL_FIELDS = (
 )
 
 
+# SCALE field order of ProofEvaluations as constructed at reference
+# src/prover/linearization_poly.rs:113-130 (field-init shorthand tracks the
+# zksnarks declaration order)
+SCALE_EVAL_ORDER = (
+    "a_eval", "b_eval", "c_eval", "d_eval",
+    "a_next_eval", "b_next_eval", "d_next_eval",
+    "q_arith_eval", "q_c_eval", "q_l_eval", "q_r_eval",
+    "s_sigma_1_eval", "s_sigma_2_eval", "s_sigma_3_eval",
+    "r_poly_eval", "perm_eval",
+)
+
+# Montgomery constants for the SCALE raw-limb layout (the Kogarashi field
+# structs store Montgomery limbs; derived parity-scale-codec Encode emits
+# them verbatim as little-endian u64 words)
+_Q_MOD = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+_R_FQ = (1 << 384) % _Q_MOD
+_R_FR = (1 << 256) % R_MOD
+
+
+def _fq_scale(x: int) -> bytes:
+    return (x * _R_FQ % _Q_MOD).to_bytes(48, "little")
+
+
+def _fq_unscale(b: bytes) -> int:
+    return int.from_bytes(b, "little") * pow(_R_FQ, -1, _Q_MOD) % _Q_MOD
+
+
+def _fr_scale(x: int) -> bytes:
+    return (x * _R_FR % R_MOD).to_bytes(32, "little")
+
+
+def _fr_unscale(b: bytes) -> int:
+    return int.from_bytes(b, "little") * pow(_R_FR, -1, R_MOD) % R_MOD
+
+
+def _g1_scale(p) -> bytes:
+    """G1Affine SCALE: x (48B Montgomery LE), y (48B), is_infinity (1B)."""
+    if p is None:
+        return b"\x00" * 96 + b"\x01"
+    return _fq_scale(p[0]) + _fq_scale(p[1]) + b"\x00"
+
+
+def _g1_unscale(b: bytes):
+    if b[96] == 1:
+        return None
+    return (_fq_unscale(b[0:48]), _fq_unscale(b[48:96]))
+
+
 @dataclass
 class Proof:
     a_comm: tuple
@@ -44,6 +92,31 @@ class Proof:
     w_z_chall_comm: tuple
     w_z_chall_w_comm: tuple
     evaluations: dict
+
+    def to_bytes(self) -> bytes:
+        """parity-scale-codec Encode layout (reference derives Encode at
+        src/prover/proof.rs:36): 11 x 97-byte G1Affine (Montgomery-limb
+        x, y, infinity flag) + 16 x 32-byte Fr = 1579 bytes."""
+        out = b"".join(_g1_scale(getattr(self, f))
+                       for f in COMMITMENT_FIELDS)
+        out += b"".join(_fr_scale(self.evaluations[k])
+                        for k in SCALE_EVAL_ORDER)
+        return out
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Proof":
+        if len(data) != 11 * 97 + 16 * 32:
+            raise ValueError(f"bad proof length {len(data)}")
+        fields = {}
+        off = 0
+        for f in COMMITMENT_FIELDS:
+            fields[f] = _g1_unscale(data[off:off + 97])
+            off += 97
+        evals = {}
+        for k in SCALE_EVAL_ORDER:
+            evals[k] = _fr_unscale(data[off:off + 32])
+            off += 32
+        return cls(evaluations=evals, **fields)
 
     def verify(self, verifier_key, transcript, opening_key, pub_inputs):
         e = self.evaluations

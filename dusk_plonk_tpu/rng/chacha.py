@@ -89,10 +89,14 @@ class ChaCha12Rng:
         return cls(splitmix64_seed(v))
 
     def _refill(self):
-        words = []
-        for i in range(4):
-            words += chacha_block(self.key, self.block_counter + i,
-                                  self.stream, self.ROUNDS)
+        if _native is not None:
+            words = _native.chacha_blocks(
+                self.key, self.block_counter, self.stream, self.ROUNDS, 4)
+        else:
+            words = []
+            for i in range(4):
+                words += chacha_block(self.key, self.block_counter + i,
+                                      self.stream, self.ROUNDS)
         self.block_counter += 4
         self.buffer = words
         self.index = 0
@@ -133,3 +137,11 @@ def fr_random(rng: ChaCha12Rng) -> int:
     SURVEY.md §7 risk #1)."""
     from ..fields.host import fr_from_bytes_wide
     return fr_from_bytes_wide(rng.fill_bytes(64))
+
+
+try:
+    from .. import native as _native
+    if not _native.available():
+        _native = None
+except Exception:  # pragma: no cover
+    _native = None

@@ -39,6 +39,8 @@ def _rotl(x, n):
 
 def keccak_f1600(state: bytearray) -> None:
     """In-place Keccak-f[1600] on a 200-byte state (little-endian lanes)."""
+    if _native is not None:
+        return _native.keccak_f1600(state)
     a = [[int.from_bytes(state[8 * (x + 5 * y):8 * (x + 5 * y) + 8], "little")
           for y in range(5)] for x in range(5)]
     for rnd in range(_ROUNDS):
@@ -63,3 +65,11 @@ def keccak_f1600(state: bytearray) -> None:
         for y in range(5):
             state[8 * (x + 5 * y):8 * (x + 5 * y) + 8] = \
                 a[x][y].to_bytes(8, "little")
+
+
+try:
+    from .. import native as _native
+    if not _native.available():
+        _native = None
+except Exception:  # pragma: no cover
+    _native = None

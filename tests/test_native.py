@@ -1,0 +1,62 @@
+"""Differential tests: C++ native engine vs the pure-Python host oracle
+(the slow-vs-fast pattern from reference src/permutation.rs:957-1088)."""
+
+import pytest
+
+from dusk_plonk_tpu import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable")
+
+
+def test_keccak_matches_python():
+    from dusk_plonk_tpu.transcript.keccak import keccak_f1600 as py_keccak
+    import os
+    for seed in (b"\x00" * 200, bytes(range(200)), os.urandom(200)):
+        a = bytearray(seed)
+        b = bytearray(seed)
+        py_keccak(a)
+        native.keccak_f1600(b)
+        assert a == b
+
+
+def test_chacha_matches_python():
+    from dusk_plonk_tpu.rng.chacha import chacha_block
+    key = [0x11111111 * (i + 1) & 0xFFFFFFFF for i in range(8)]
+    for counter in (0, 1, 2**33):
+        py = []
+        for i in range(4):
+            py += chacha_block(key, counter + i, (0, 0), 12)
+        nat = native.chacha_blocks(key, counter, (0, 0), 12, 4)
+        assert py == nat
+
+
+def test_msm_matches_python():
+    from dusk_plonk_tpu.curves import bls
+    from dusk_plonk_tpu.fields.constants import R_MOD
+    import random
+    rnd = random.Random(42)
+    pts = []
+    acc = bls._jac_from_affine(bls.G1_GENERATOR)
+    for _ in range(40):
+        pts.append(bls._jac_to_affine(acc))
+        acc = bls._jac_add(acc, bls._jac_from_affine(bls.G1_GENERATOR))
+    pts[7] = None
+    scalars = [rnd.randrange(R_MOD) for _ in range(40)]
+    scalars[3] = 0
+    assert native.g1_msm(pts, scalars) == bls.g1_msm(pts, scalars)
+    assert native.g1_msm([None], [5]) is None
+
+
+def test_ntt_matches_python():
+    from dusk_plonk_tpu.poly.domain import Domain
+    from dusk_plonk_tpu.fields.constants import R_MOD
+    import random
+    rnd = random.Random(1)
+    dom = Domain(6)
+    vals = [rnd.randrange(R_MOD) for _ in range(64)]
+    assert native.fr_ntt(vals, dom.generator) == dom.dft(vals)
+    assert native.fr_scale_geo(vals, 7, 3) == \
+        [v * 7 % R_MOD * pow(3, i, R_MOD) % R_MOD
+         for i, v in enumerate(vals)]
