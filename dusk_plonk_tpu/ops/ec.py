@@ -16,6 +16,7 @@ Points are pytrees (X, Y, Z) of (..., 24, N) uint32 Montgomery limb arrays
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..fields.constants import Q_MOD
@@ -69,6 +70,25 @@ class DeviceG1:
     # -- complete addition (RCB15 alg. 7, a=0) --------------------------------------
 
     def add(self, p, q):
+        """Complete addition; routes to the fused Pallas kernel on TPU for
+        large 2-D/3-D batches (ops/pallas_field.py), XLA otherwise."""
+        from .limb import _pallas_wanted
+        x1 = p[0]
+        if (_pallas_wanted() and x1.ndim >= 2 and x1.shape[-2] == self.F.L
+                and x1.shape == q[0].shape
+                and x1.shape[-1] >= 128 and x1.shape[-1] % 128 == 0):
+            from . import pallas_field as pf
+            if x1.ndim == 2:
+                return pf.ec_add(p, q)
+            lead = x1.shape[:-2]
+            tail = x1.shape[-2:]
+            fp = tuple(c.reshape((-1,) + tail) for c in p)
+            fq_ = tuple(c.reshape((-1,) + tail) for c in q)
+            out = jax.vmap(pf.ec_add)(fp, fq_)
+            return tuple(c.reshape(lead + tail) for c in out)
+        return self._add_xla(p, q)
+
+    def _add_xla(self, p, q):
         F = self.F
         x1, y1, z1 = p
         x2, y2, z2 = q

@@ -33,6 +33,19 @@ import jax.numpy as jnp
 
 MASK16 = 0xFFFF  # Python int: stays a folded literal in traced ops
 
+_PALLAS_PLATFORM = None
+
+
+def _pallas_wanted() -> bool:
+    """Route muls through the Pallas kernel only on TPU backends."""
+    global _PALLAS_PLATFORM
+    if _PALLAS_PLATFORM is None:
+        try:
+            _PALLAS_PLATFORM = jax.devices()[0].platform
+        except Exception:  # pragma: no cover
+            _PALLAS_PLATFORM = "cpu"
+    return _PALLAS_PLATFORM == "tpu"
+
 
 @dataclass(frozen=True)
 class FieldSpec:
@@ -246,10 +259,26 @@ class LimbField:
     def mul(self, a, b):
         """Batched Montgomery multiplication, separated-operand form:
             T = a*b;  m = (T mod R) * N' mod R;  out = (T + m*N) / R
-        (R = 2^(16L), N' = -N^-1 mod R).  ~2.5 L^2 16-bit products vs CIOS's
-        2 L^2, but with NO per-word sequential dependency — the three
-        products are fully parallel sum trees and only the three carry
-        chains (cheap row ops) are sequential.  TPU-first tradeoff."""
+        (R = 2^(16L), N' = -N^-1 mod R).  On TPU, large batches route to
+        the fused Pallas kernel (ops/pallas_field.py) — the XLA lowering
+        materializes the product tensors in HBM (~25x slower measured);
+        XLA remains the oracle path on CPU and for small/odd shapes."""
+        a, b = self._bc(a, b)
+        if _pallas_wanted() and a.shape[-2] == self.L and a.ndim >= 2:
+            n = a.shape[-1]
+            if n >= 512 and n % 512 == 0:
+                from . import pallas_field as pf
+                if a.ndim == 2:
+                    return pf.mont_mul(self.spec, a, b)
+                lead = a.shape[:-2]
+                fa = a.reshape((-1,) + a.shape[-2:])
+                fb = b.reshape((-1,) + b.shape[-2:])
+                out = jax.vmap(
+                    lambda x, y: pf.mont_mul(self.spec, x, y))(fa, fb)
+                return out.reshape(lead + a.shape[-2:])
+        return self._mul_xla(a, b)
+
+    def _mul_xla(self, a, b):
         L = self.L
         a, b = self._bc(a, b)
 

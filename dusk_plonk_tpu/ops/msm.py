@@ -75,46 +75,47 @@ class MsmPlan:
     # -- per-window-group kernel ------------------------------------------------
 
     def _window_group_totals(self, px, py, pz, digits):
-        """digits (Wg, N); points (L, N) -> window totals (Wg, L, 1) x3."""
+        """digits (Wg, N); points (L, N) -> window totals (Wg, L, 1) x3.
+
+        All EC arithmetic runs on FLATTENED (L, lanes) arrays so the fused
+        Pallas EC-add kernel fires (lanes = Wg*nc for the chunked prefix
+        scan, Wg*nb for the bucket phase)."""
         G1 = self.G1
         wg, n = digits.shape
         L = self.Fq.L
         order = jnp.argsort(digits, axis=-1)             # (Wg, N)
         sd = jnp.take_along_axis(digits, order, axis=-1)
 
-        def gather(c):
-            return jnp.moveaxis(c[:, order], 0, 1)       # (Wg, L, N)
-        sx, sy, sz = gather(px), gather(py), gather(pz)
-
-        # chunked inclusive prefix scan of EC adds
         cl = self.chunk_len
         nc = n // cl
 
-        def resh(c):
-            # (Wg, L, N) -> (cl, Wg, L, nc): scan over axis 0, chunk axis
-            # in lanes
-            return c.reshape(wg, L, nc, cl).transpose(3, 0, 1, 2)
-        xs = (resh(sx), resh(sy), resh(sz))
-        ident = G1.broadcast_identity((wg,), nc)
+        def gather_flat(c):
+            # (L, N)[:, order] -> (L, Wg, N) -> (L, Wg, nc, cl)
+            # -> (cl, L, Wg*nc): scan axis first, lanes flattened
+            g = c[:, order].reshape(L, wg, nc, cl)
+            return g.transpose(3, 0, 1, 2).reshape(cl, L, wg * nc)
+        xs = (gather_flat(px), gather_flat(py), gather_flat(pz))
+        ident = G1.broadcast_identity((), wg * nc)       # (L, Wg*nc)
 
         def body(carry, x):
             nxt = G1.add(carry, x)
             return nxt, nxt
-        _, ps = jax.lax.scan(body, ident, xs)            # (cl, Wg, L, nc) x3
+        _, ps = jax.lax.scan(body, ident, xs)            # (cl, L, Wg*nc) x3
 
         # chunk offsets: exclusive scan of chunk totals along nc.
         # lax.scan (sequential, body = ONE add) — an associative_scan would
         # inline log(nc) adds into the graph and blow up compile time.
-        totals = tuple(c[-1].transpose(2, 0, 1)[..., None]
-                       for c in ps)                      # (nc, Wg, L, 1)
-        ident_wg = G1.broadcast_identity((wg,), 1)       # (Wg, L, 1)
+        totals = tuple(
+            c[-1].reshape(L, wg, nc).transpose(2, 0, 1)
+            for c in ps)                                 # (nc, L, Wg)
+        ident_wg = G1.broadcast_identity((), wg)         # (L, Wg)
 
         def off_body(carry, x):
             nxt = G1.add(carry, x)
             return nxt, carry                            # exclusive
         _, offs_seq = jax.lax.scan(off_body, ident_wg, totals)
-        offsets = tuple(c.transpose(1, 2, 3, 0)[..., 0, :]
-                        for c in offs_seq)               # (Wg, L, nc)
+        offsets = tuple(c.transpose(1, 2, 0).reshape(L, wg * nc)
+                        for c in offs_seq)               # (L, Wg*nc)
 
         # locate bucket run boundaries
         nb = 1 << WINDOW_BITS
@@ -126,35 +127,35 @@ class MsmPlan:
             )(sd)                                        # (Wg, nb)
         head = find("left")
         tail = find("right") - 1
-        empty = head > tail
+        empty = (head > tail).reshape(wg * nb)           # (Wg*nb,)
+
+        wg_ix = jnp.arange(wg, dtype=jnp.int32)[:, None]
 
         def ps_at(idx):
-            """Prefix-scan value at flat index (Wg, nb) -> (Wg, L, nb);
+            """Prefix-scan value at index (Wg, nb) -> (L, Wg*nb) flat;
             identity at -1."""
-            neg = idx < 0
+            neg = (idx < 0).reshape(wg * nb)
             safe = jnp.maximum(idx, 0)
             ci = safe // cl                              # (Wg, nb)
-            pi = safe % cl
-            wg_ix = jnp.arange(wg, dtype=jnp.int32)[:, None]
-            # ps: (cl, Wg, L, nc) -> [pi, wg, :, ci] -> (Wg, nb, L)
-            vals = tuple(jnp.transpose(c[pi, wg_ix, :, ci], (0, 2, 1))
-                         for c in ps)                    # (Wg, L, nb)
-            offs = tuple(jnp.take_along_axis(
-                c, ci[:, None, :], axis=-1) for c in offsets)
+            pi = (safe % cl).reshape(wg * nb)
+            flat_lane = (wg_ix * nc + ci).reshape(wg * nb)
+            # ps: (cl, L, Wg*nc)[pi, :, flat_lane] -> (Wg*nb, L) -> (L, .)
+            vals = tuple(c[pi, :, flat_lane].T for c in ps)
+            offs = tuple(c[:, flat_lane] for c in offsets)
             summed = G1.add(vals, offs)
-            ident_b = G1.broadcast_identity((wg,), nb)
+            ident_b = G1.broadcast_identity((), wg * nb)
             return G1.select(neg, ident_b, summed)
 
         b_hi = ps_at(tail)
         b_lo = ps_at(head - 1)
-        bucket_sums = G1.add(b_hi, G1.neg(b_lo))         # (Wg, L, nb)
-        ident_b = G1.broadcast_identity((wg,), nb)
+        bucket_sums = G1.add(b_hi, G1.neg(b_lo))         # (L, Wg*nb)
+        ident_b = G1.broadcast_identity((), wg * nb)
         bucket_sums = G1.select(empty, ident_b, bucket_sums)
         # drop bucket 0 (digit 0 contributes nothing); iterate buckets from
         # the top: running += B_d; total += running  =>  total = sum d*B_d.
-        # Sequential scan again: body = TWO adds, compiled once.
-        desc = tuple(c[..., 1:][..., ::-1].transpose(2, 0, 1)[..., None]
-                     for c in bucket_sums)               # (nb-1, Wg, L, 1)
+        desc = tuple(
+            c.reshape(L, wg, nb)[..., 1:][..., ::-1].transpose(2, 0, 1)
+            for c in bucket_sums)                        # (nb-1, L, Wg)
 
         def red_body(carry, x):
             running, total = carry
@@ -162,8 +163,8 @@ class MsmPlan:
             total = G1.add(total, running)
             return (running, total), None
         (_, total), _ = jax.lax.scan(
-            red_body, (ident_wg, ident_wg), desc)
-        return total                                     # (Wg, L, 1) x3
+            red_body, (ident_wg, ident_wg), desc)        # (L, Wg) x3
+        return tuple(jnp.moveaxis(c, -1, 0)[..., None] for c in total)
 
     def _combine_windows(self, wx, wy, wz):
         """(W, L, 1) window totals -> final (L, 1) point, MSB window first:

@@ -1,0 +1,286 @@
+"""Pallas TPU kernels for Montgomery field arithmetic.
+
+The XLA-level mul (ops/limb.py) materializes (L, L, N) product tensors and
+pad-reshape binning buffers in HBM — measured ~13 ms per 2^16-element Fr
+mul on hardware, entirely memory-bound.  These kernels keep the whole
+schoolbook + Montgomery reduction in VMEM per tile:
+
+* product columns via L shifted multiply-accumulates on (L, T) tiles
+  (full sublane/lane utilization, no reshapes, no HBM intermediates);
+* Kogge-Stone carries as masked sublane rolls;
+* one fused kernel per mul — HBM traffic is exactly 3 x (L, T) per tile.
+
+`emit_mont_mul` is the in-kernel emitter, reusable inside larger fused
+kernels (EC addition, quotient chunks).  Differentially tested against
+LimbField.mul in tests/test_pallas_field.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limb import FieldSpec, FR_SPEC, FQ_SPEC, _int_to_limbs
+
+MASK16 = 0xFFFF
+
+
+def _shift_rows_val(x, d):
+    """Shift rows toward higher indices by d, zero-filling (on values)."""
+    if d == 0:
+        return x
+    rows = x.shape[0]
+    rolled = pltpu.roll(x, d, axis=0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(idx >= d, rolled, jnp.uint32(0))
+
+
+def _ks_carry(s):
+    """Kogge-Stone carry resolution on (K, T) rows each < 2^17."""
+    K = s.shape[0]
+    g = (s >> 16).astype(jnp.uint32)
+    p = ((s & MASK16) == MASK16).astype(jnp.uint32)
+    d = 1
+    while d < K:
+        g = g | (p & _shift_rows_val(g, d))
+        p = p & _shift_rows_val(p, d)
+        d *= 2
+    return (s + _shift_rows_val(g, 1)) & MASK16
+
+
+def _carry(cols):
+    """Lazy rows < 2^22 -> carried 16-bit limbs (mod 2^(16K))."""
+    lo = cols & MASK16
+    hi = cols >> 16
+    return _ks_carry(lo + _shift_rows_val(hi, 1))
+
+
+def _product_cols(a, b, out_rows):
+    """Anti-diagonal column sums of the schoolbook product: a (La, T) times
+    b (Lb, T) -> (out_rows, T), rows < 2^21.  Built with La shifted MACs
+    (scatter-add is not lowerable in Pallas TPU, so accumulation uses
+    pad + masked roll; rows shifted past out_rows are truncated, matching
+    the Montgomery mod-R semantics)."""
+    La = a.shape[0]
+    Lb = b.shape[0]
+    cols = None
+    for i in range(La):
+        prod = a[i:i + 1] * b                      # (Lb, T) exact u32
+        pad = [(0, max(out_rows - Lb, 0)), (0, 0)]
+        lo = jnp.pad(prod & MASK16, pad)[:out_rows]
+        hi = jnp.pad(prod >> 16, pad)[:out_rows]
+        term = _shift_rows_val(lo, i) + _shift_rows_val(hi, i + 1)
+        cols = term if cols is None else cols + term
+    return cols
+
+
+def _sub_borrow(a, b):
+    """a - b (carried rows) -> (diff, borrow(1,T))."""
+    K = a.shape[0]
+    one0 = (jax.lax.broadcasted_iota(jnp.uint32, a.shape, 0)
+            == 0).astype(jnp.uint32)
+    s = a + (MASK16 ^ b) + one0
+    g = (s >> 16).astype(jnp.uint32)
+    p = ((s & MASK16) == MASK16).astype(jnp.uint32)
+    d = 1
+    while d < K:
+        g = g | (p & _shift_rows_val(g, d))
+        p = p & _shift_rows_val(p, d)
+        d *= 2
+    diff = (s + _shift_rows_val(g, 1)) & MASK16
+    borrow = (g[K - 1:K] == 0).astype(jnp.uint32)   # (1, T): 1 if borrow
+    return diff, borrow
+
+
+def emit_mont_mul(a, b, mod_col, np_col):
+    """In-kernel Montgomery mul on (L, T) value tiles (separated-operand
+    form, same math as LimbField.mul).  mod_col/np_col: (L, 1) values
+    (pallas kernels may not capture array constants — they ride as
+    inputs)."""
+    L = a.shape[0]
+    T = a.shape[1]
+    # materialize the (L, 1) -> (L, T) broadcasts with an add: Mosaic
+    # cannot lower a value broadcast in both sublanes and lanes at once
+    z = jnp.zeros((L, T), jnp.uint32)
+    mod = mod_col + z
+    npr = np_col + z
+
+    t = _carry(_product_cols(a, b, 2 * L + 1))
+    m = _carry(_product_cols(t[:L], npr, L))
+    mn = _product_cols(m, mod, 2 * L + 1)
+    full = _carry(t + mn)
+    hi = full[L:2 * L]
+    diff, borrow = _sub_borrow(hi, mod)
+    return jnp.where(borrow != 0, hi, diff)
+
+
+def emit_add_mod(a, b, mod):
+    """In-kernel modular add on carried (L, T) values."""
+    s = _ks_carry(a + b)
+    diff, borrow = _sub_borrow(s, mod)
+    return jnp.where(borrow != 0, s, diff)
+
+
+def emit_sub_mod(a, b, mod):
+    """In-kernel modular sub on carried (L, T) values."""
+    d, borrow = _sub_borrow(a, b)
+    wrapped = _ks_carry(d + mod)
+    return jnp.where(borrow != 0, wrapped, d)
+
+
+def emit_ec_add(p, q, mod_col, np_col, b3_col):
+    """Complete projective G1 addition (RCB15 alg.7, a=0) fused in-kernel:
+    12 Montgomery muls + 2 b3-muls with NO HBM intermediates (the XLA
+    version round-trips ~40 (L, N) buffers through HBM per addition)."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    L, T = x1.shape
+    zz = jnp.zeros((L, T), jnp.uint32)
+    mod = mod_col + zz
+    b3 = b3_col + zz
+
+    def mul(a, b):
+        return emit_mont_mul(a, b, mod_col, np_col)
+
+    add = lambda a, b: emit_add_mod(a, b, mod)
+    sub = lambda a, b: emit_sub_mod(a, b, mod)
+
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t2 = mul(z1, z2)
+    t3 = mul(add(x1, y1), add(x2, y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mul(add(y1, z1), add(y2, z2))
+    t4 = sub(t4, add(t1, t2))
+    x3 = mul(add(x1, z1), add(x2, z2))
+    y3 = sub(x3, add(t0, t2))
+    x3 = add(t0, t0)
+    t0 = add(x3, t0)
+    t2 = mul(b3, t2)
+    z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = mul(b3, y3)
+    x3 = mul(t4, y3)
+    t2 = mul(t3, t1)
+    x3 = sub(t2, x3)
+    y3 = mul(y3, t0)
+    t1 = mul(t1, z3)
+    y3 = add(t1, y3)
+    t0 = mul(t0, t3)
+    z3 = mul(z3, t4)
+    z3 = add(z3, t0)
+    return x3, y3, z3
+
+
+def _ec_add_kernel(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref,
+                   c_ref, ox_ref, oy_ref, oz_ref):
+    x3, y3, z3 = emit_ec_add(
+        (px_ref[:], py_ref[:], pz_ref[:]),
+        (qx_ref[:], qy_ref[:], qz_ref[:]),
+        c_ref[:, 0:1], c_ref[:, 1:2], c_ref[:, 2:3])
+    ox_ref[:] = x3
+    oy_ref[:] = y3
+    oz_ref[:] = z3
+
+
+@lru_cache(maxsize=None)
+def _ec_consts():
+    """(24, 3): Fq modulus, -p^-1 mod R, b3=12 in Montgomery form."""
+    spec = FQ_SPEC
+    nprime = (-pow(spec.modulus, -1, 1 << spec.bits)) % (1 << spec.bits)
+    b3m = 12 * spec.mont_r % spec.modulus
+    return np.stack([_int_to_limbs(spec, spec.modulus),
+                     _int_to_limbs(spec, nprime),
+                     _int_to_limbs(spec, b3m)], axis=1)
+
+
+@lru_cache(maxsize=None)
+def _ec_add_call(n: int, tile: int, interpret: bool):
+    L = FQ_SPEC.limbs
+    grid = (n // tile,)
+    bs = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((L, 3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        _ec_add_kernel,
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[bs] * 6 + [cs],
+        out_specs=(bs, bs, bs),
+        interpret=interpret,
+    )
+
+
+def ec_add(p, q, interpret: bool | None = None):
+    """Fused complete G1 addition on ((24,N),)*3 point tuples.  Tile is
+    128 lanes: the full RCB DAG at wider tiles aborts the Mosaic register
+    allocator (SIGABRT at T=512, measured)."""
+    n = p[0].shape[-1]
+    consts = jnp.asarray(_ec_consts())
+    t = 128 if n % 128 == 0 else n
+    if interpret is None:
+        interpret = _interpret_default()
+    return _ec_add_call(n, t, interpret)(
+        p[0], p[1], p[2], q[0], q[1], q[2], consts)
+
+
+def _mul_kernel(a_ref, b_ref, c_ref, o_ref):
+    o_ref[:] = emit_mont_mul(a_ref[:], b_ref[:],
+                             c_ref[:, 0:1], c_ref[:, 1:2])
+
+
+@lru_cache(maxsize=None)
+def _field_consts(spec: FieldSpec):
+    """(L, 2) numpy: column 0 = modulus limbs, column 1 = -p^-1 mod R."""
+    nprime = (-pow(spec.modulus, -1, 1 << spec.bits)) % (1 << spec.bits)
+    return np.stack([_int_to_limbs(spec, spec.modulus),
+                     _int_to_limbs(spec, nprime)], axis=1)
+
+
+@lru_cache(maxsize=None)
+def _mul_call(spec: FieldSpec, n: int, tile: int, interpret: bool):
+    L = spec.limbs
+    grid = (n // tile,)
+    bs = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((L, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mul_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=grid,
+        in_specs=[bs, bs, cs],
+        out_specs=bs,
+        interpret=interpret,
+    )
+
+
+def _interpret_default() -> bool:
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+def mont_mul(spec: FieldSpec, a, b, interpret: bool | None = None):
+    """Batched Montgomery mul on (L, N) arrays.  Tiles lanes at 1024/512;
+    interpret mode auto-enables off-TPU (for the CPU test suite)."""
+    if a.ndim != 2 or a.shape != b.shape:
+        raise ValueError("mont_mul expects equal 2-D (L, N) operands")
+    n = a.shape[-1]
+    consts = jnp.asarray(_field_consts(spec))
+    t = next((c for c in (1024, 512) if n % c == 0), n)
+    if interpret is None:
+        interpret = _interpret_default()
+    return _mul_call(spec, n, t, interpret)(a, b, consts)
+
+
+def fr_mul(a, b):
+    return mont_mul(FR_SPEC, a, b)
+
+
+def fq_mul(a, b):
+    return mont_mul(FQ_SPEC, a, b)
