@@ -135,7 +135,9 @@ class LimbField:
     def unpack(self, arr, from_mont: bool = True) -> list[int]:
         """(..., L, N) limb array -> flat list of canonical Python ints."""
         if from_mont:
-            one = jnp.zeros_like(arr).at[..., 0, :].set(1)
+            # numpy constant (an eager device op costs ~120 ms on axon)
+            one = np.zeros((self.L, 1), np.uint32)
+            one[0, 0] = 1
             arr = self._jit_mul(arr, one)
         host = np.asarray(jax.device_get(arr)).astype("<u2")
         flat = np.moveaxis(host, -2, -1).reshape(-1, self.L)

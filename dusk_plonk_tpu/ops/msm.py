@@ -57,10 +57,19 @@ class MsmPlan:
         self.wg = window_group
         self.chunk_len = min(512, n)
         # pad to a chunk multiple: zero scalars sort into bucket 0, which the
-        # reduction drops, so identity-padding is free of correctness cost
-        self.n_pad = -(-n // self.chunk_len) * self.chunk_len
-        self._group_fn = jax.jit(self._window_group_totals)
-        self._combine_fn = jax.jit(self._combine_windows)
+        # reduction drops, so identity-padding is free of correctness cost.
+        # For large inputs, pad further so the flattened scan lanes
+        # (wg * num_chunks) are a multiple of 128 and the fused Pallas EC
+        # kernel fires (ops/ec.py dispatch rule).
+        from math import gcd
+        quantum = self.chunk_len
+        if n >= 2048:
+            quantum *= 128 // gcd(self.wg, 128)
+        self.n_pad = -(-n // quantum) * quantum
+        # ONE jitted executable for the whole MSM: every eager op on the
+        # axon backend costs ~120 ms (separate remote execution), so the
+        # padding/digit/combine glue must live inside the jit
+        self._msm_fn = jax.jit(self._msm_jit)
 
     # -- digit extraction ----------------------------------------------------
 
@@ -182,11 +191,7 @@ class MsmPlan:
 
     # -- public ------------------------------------------------------------------
 
-    def msm_device(self, points, scalar_limbs):
-        """points: ((L,N),(L,N),(L,N)) projective Montgomery (the packed
-        SRS slice); scalar_limbs: (16, N) canonical 16-bit limbs.
-        Returns a single projective device point (L, 1) x3."""
-        px, py, pz = points
+    def _msm_jit(self, px, py, pz, scalar_limbs):
         if self.n_pad != self.n:
             pad = self.n_pad - self.n
             ident = self.G1.broadcast_identity((), pad)
@@ -199,14 +204,21 @@ class MsmPlan:
         digits = self._digits(scalar_limbs)              # (32, n_pad)
         totals = []
         for g in range(0, NUM_WINDOWS, self.wg):
-            t = self._group_fn(px, py, pz, digits[g:g + self.wg])
+            t = self._window_group_totals(px, py, pz,
+                                          digits[g:g + self.wg])
             totals.append(t)
         wx = jnp.concatenate([t[0] for t in totals], axis=0)
         wy = jnp.concatenate([t[1] for t in totals], axis=0)
         wz = jnp.concatenate([t[2] for t in totals], axis=0)
         # windows were emitted LSB-first; combine expects MSB-first
-        wx, wy, wz = wx[::-1], wy[::-1], wz[::-1]
-        return self._combine_fn(wx, wy, wz)
+        return self._combine_windows(wx[::-1], wy[::-1], wz[::-1])
+
+    def msm_device(self, points, scalar_limbs):
+        """points: ((L,N),(L,N),(L,N)) projective Montgomery (the packed
+        SRS slice); scalar_limbs: (16, N) canonical 16-bit limbs.
+        Returns a single projective device point (L, 1) x3."""
+        px, py, pz = points
+        return self._msm_fn(px, py, pz, scalar_limbs)
 
     def msm(self, points, scalars_int):
         """Host convenience: scalars as Python ints -> affine host point."""

@@ -404,6 +404,9 @@ class DeviceEngine:
         self._round3c = jax.jit(round3c)
         self._roll8 = jax.jit(roll8)
         self._concat_t = jax.jit(concat_t)
+        self._take_row = jax.jit(
+            lambda arr, i: jax.lax.dynamic_index_in_dim(
+                arr, i, 0, keepdims=False))
         self._evals = jax.jit(evals_fn)
         self._rpoly = jax.jit(rpoly_fn)
         self._openings = jax.jit(openings_fn)
@@ -415,8 +418,11 @@ class DeviceEngine:
         out = self.msm.msm_device(self.srs, canon_coeffs)
         return self.G1.unpack_points(out)[0]
 
-    def _commit_batch(self, canon_list):
-        return [self._commit(c) for c in canon_list]
+    def _commit_batch(self, canon_stack):
+        """(B, 16, ns) canon stack -> B affine points (slicing happens in
+        a jitted helper — eager ops cost ~120 ms each on axon)."""
+        return [self._commit(self._take_row(canon_stack, np.int32(i)))
+                for i in range(canon_stack.shape[0])]
 
     # -- the proof --------------------------------------------------------------
 
@@ -456,7 +462,7 @@ class DeviceEngine:
         blinders1 = F.pack(
             [fr_random(rng) for _ in range(4 * 2)], shape=(4, 2))
         wire_polys, wire_canon = self._round1(self.tb, wire_vals, blinders1)
-        commits = self._commit_batch(list(wire_canon))
+        commits = self._commit_batch(wire_canon)
         for label, comm in zip((b"a_w", b"b_w", b"c_w", b"d_w"), commits):
             transcript.append_commitment(label, comm)
         a_comm, b_comm, c_comm, d_comm = commits
@@ -507,7 +513,7 @@ class DeviceEngine:
         chunks, chunks_canon, tail_bad = self._round3c(self.tb, t_coeffs)
         if bool(jax.device_get(tail_bad)):
             raise Error("polynomial degree exceeds SRS (unsatisfied circuit)")
-        t_commits = self._commit_batch(list(chunks_canon))
+        t_commits = self._commit_batch(chunks_canon)
         for label, comm in zip((b"t_low", b"t_mid", b"t_high", b"t_4"),
                                t_commits):
             transcript.append_commitment(label, comm)
@@ -558,8 +564,8 @@ class DeviceEngine:
             self.tb, quot, r_poly, wire_polys, z_poly,
             F.pack_scalar(z_challenge), F.pack_scalar(zw),
             F.pack_scalar(v_challenge), F.pack_scalar(v_shifted))
-        w_z_chall_comm = self._commit(aggs_canon[0])
-        w_z_chall_w_comm = self._commit(aggs_canon[1])
+        w_comms = self._commit_batch(aggs_canon)
+        w_z_chall_comm, w_z_chall_w_comm = w_comms
         _mark("openings")
         self.last_timings = tm
 
