@@ -22,6 +22,17 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: TPU executables for the 2^16 engine
+    take minutes each to build remotely; cached across bench runs."""
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _random_points(n, rng):
     """[s_i]G for random 64-bit s_i, built on device: 8 window-table
     gathers + EC tree-reduce (same machinery as PlonkParams.setup_device).
@@ -170,6 +181,7 @@ def bench_proof():
 
 
 if __name__ == "__main__":
+    _enable_compile_cache()
     mode = os.environ.get("BENCH_MODE", "proof")
     if mode == "msm":
         bench_msm()

@@ -91,7 +91,7 @@ class PlonkParams:
         scalars = [1] * n
         for i in range(1, n):
             scalars[i] = scalars[i - 1] * tau % R_MOD
-        limbs = np.asarray(F.pack(scalars, to_mont=False))   # (16, n)
+        limbs = F.pack_host(scalars)                         # (16, n) numpy
         lo = limbs & 0xFF
         hi = (limbs >> 8) & 0xFF
         digits = np.stack([lo, hi], axis=1).reshape(32, n)   # (32, n)

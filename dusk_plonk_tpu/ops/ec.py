@@ -75,8 +75,7 @@ class DeviceG1:
         from .limb import _pallas_wanted
         x1 = p[0]
         if (_pallas_wanted() and x1.ndim >= 2 and x1.shape[-2] == self.F.L
-                and x1.shape == q[0].shape
-                and x1.shape[-1] >= 128 and x1.shape[-1] % 128 == 0):
+                and x1.shape == q[0].shape and x1.shape[-1] >= 128):
             from . import pallas_field as pf
             if x1.ndim == 2:
                 return pf.ec_add(p, q)

@@ -25,7 +25,7 @@ see tests/test_device_fr.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -103,15 +103,20 @@ class LimbField:
 
     # -- host <-> device packing ------------------------------------------------
 
-    def pack(self, values, to_mont: bool = True, shape=None) -> jax.Array:
-        """Python ints -> (L, N) uint32 limb array (Montgomery by default).
-        With `shape`, returns shape[:-1] + (L, shape[-1])."""
+    def pack_host(self, values) -> np.ndarray:
+        """Python ints -> (L, N) uint32 limb NUMPY array (canonical, no
+        Montgomery, never touches the device — use for host-side staging;
+        a device round-trip over the axon tunnel costs minutes per MB)."""
         spec = self.spec
         buf = b"".join(int(v).to_bytes(spec.limbs * 2, "little")
                        for v in values)
-        arr = np.frombuffer(buf, dtype="<u2").reshape(
-            len(values), spec.limbs).astype(np.uint32)
-        out = jnp.asarray(arr.T)                               # (L, N)
+        return np.ascontiguousarray(np.frombuffer(buf, dtype="<u2").reshape(
+            len(values), spec.limbs).astype(np.uint32).T)      # (L, N)
+
+    def pack(self, values, to_mont: bool = True, shape=None) -> jax.Array:
+        """Python ints -> (L, N) uint32 limb array (Montgomery by default).
+        With `shape`, returns shape[:-1] + (L, shape[-1])."""
+        out = jnp.asarray(self.pack_host(values))              # (L, N)
         if to_mont:
             out = self._jit_mul(out, self.r2)
         if shape is not None:
@@ -268,7 +273,7 @@ class LimbField:
         a, b = self._bc(a, b)
         if _pallas_wanted() and a.shape[-2] == self.L and a.ndim >= 2:
             n = a.shape[-1]
-            if n >= 512 and n % 512 == 0:
+            if n >= 512:
                 from . import pallas_field as pf
                 if a.ndim == 2:
                     return pf.mont_mul(self.spec, a, b)
@@ -328,6 +333,27 @@ class LimbField:
         """Fermat inverse a^(p-2) (use batch_inv for arrays)."""
         return self.pow_const(a, self.spec.modulus - 2)
 
+    def prefix_mul(self, x):
+        """Inclusive prefix product along the ELEMENT (last) axis,
+        Hillis-Steele inside ONE lax.fori_loop (body = one mul + one roll).
+        An associative_scan combiner inlines every level's Montgomery mul
+        into the graph — measured >14 min of remote XLA compile per program
+        at 2^19; the rolled loop compiles in seconds and trades a 2x work
+        factor the VPU absorbs."""
+        n = x.shape[-1]
+        if n == 1:
+            return x
+        nb = (n - 1).bit_length()
+        idx = jax.lax.iota(jnp.uint32, n)
+
+        def body(i, arr):
+            sh = jnp.left_shift(jnp.uint32(1), i)
+            rolled = jnp.roll(arr, sh, axis=-1)
+            prod = self.mul(arr, rolled)
+            return jnp.where(idx >= sh, prod, arr)
+
+        return jax.lax.fori_loop(0, nb, body, x)
+
     def batch_inv(self, a):
         """Montgomery's trick over the element axis: 1 Fermat inverse +
         3N multiplications (reference does per-element inversion in the
@@ -335,10 +361,8 @@ class LimbField:
         TPU-friendly replacement). Zero entries map to zero."""
         is_zero = jnp.all(a == 0, axis=-2, keepdims=True)
         safe = jnp.where(is_zero, self.one_mont, a)
-        ax = a.ndim - 1
-        prefix = jax.lax.associative_scan(self.mul, safe, axis=ax)
-        suffix = jax.lax.associative_scan(self.mul, safe, axis=ax,
-                                          reverse=True)
+        prefix = self.prefix_mul(safe)
+        suffix = self.prefix_mul(safe[..., ::-1])[..., ::-1]
         total_inv = self.inv(prefix[..., -1:])
         one = jnp.broadcast_to(self.one_mont, safe[..., :1].shape)
         prefix_excl = jnp.concatenate([one, prefix[..., :-1]], axis=-1)
@@ -356,11 +380,57 @@ class LimbField:
         return self.mul(a, jnp.broadcast_to(one, a.shape))
 
     def powers(self, base, n: int):
-        """[1, base, base^2, ..., base^(n-1)] as (L, n), log-depth.
-        base: (L, 1)."""
-        arr = jnp.broadcast_to(base, (self.L, n))
-        incl = jax.lax.associative_scan(self.mul, arr, axis=1)
-        return jnp.concatenate([self.one_mont, incl[..., :-1]], axis=-1)
+        """[1, base, base^2, ..., base^(n-1)] as (L, n) for a TRACED base.
+
+        Square-and-multiply over the bits of the index inside ONE
+        lax.fori_loop whose body is two Montgomery muls — an
+        associative_scan combiner would inline ~2·log2(n) muls into the
+        graph (measured: >14 min of remote XLA compile at n=2^19; the
+        rolled loop compiles in seconds).  For a base known on host use
+        `powers_host_base` (zero device muls in the graph but one)."""
+        nb = max(1, (n - 1).bit_length())
+        idx = jax.lax.iota(jnp.uint32, n)
+        out0 = jnp.broadcast_to(self.one_mont, (self.L, n))
+
+        def body(b, carry):
+            out, sq = carry
+            bit = ((idx >> b) & 1) == 1
+            out = jnp.where(bit[None, :], self.mul(out, sq), out)
+            return out, self.mul(sq, sq)
+
+        out, _ = jax.lax.fori_loop(0, nb, body, (out0, base))
+        return out
+
+    def powers_host_base(self, base_int: int, n: int, scale: int = 1):
+        """[scale * base^i] for i<n as (L, n) Montgomery, for a base KNOWN
+        ON HOST: two tiny host-computed power tables (~sqrt(n) entries each,
+        packed in Montgomery form host-side) and a single broadcast device
+        mul — the whole graph is ONE mul, so it compiles instantly and
+        uploads ~KBs instead of materializing a scan."""
+        spec = self.spec
+        p = spec.modulus
+        lo_n = 1 << max(1, ((n - 1).bit_length() + 1) // 2)
+        hi_n = -(-n // lo_n)
+        lo = [1] * lo_n
+        for i in range(1, lo_n):
+            lo[i] = lo[i - 1] * base_int % p
+        stride = lo[-1] * base_int % p
+        hi = [scale % p] * hi_n
+        for i in range(1, hi_n):
+            hi[i] = hi[i - 1] * stride % p
+        R = spec.mont_r
+        lo_m = jnp.asarray(self.pack_host([v * R % p for v in lo]))
+        hi_m = jnp.asarray(self.pack_host([v * R % p for v in hi]))
+        return self._jit_outer_powers(lo_m, hi_m, n)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _jit_outer_powers(self, lo_m, hi_m, n):
+        lo_n = lo_m.shape[-1]
+        hi_n = hi_m.shape[-1]
+        prod = self.mul(jnp.moveaxis(hi_m, -1, 0)[:, :, None],  # (hi, L, 1)
+                        lo_m[None])                             # (1, L, lo)
+        return jnp.moveaxis(prod, 0, 1).reshape(
+            self.L, hi_n * lo_n)[:, :n]
 
     def sum_reduce(self, a, axis: int = 0):
         """Modular sum along a BATCH axis (not the limb/element axes) by

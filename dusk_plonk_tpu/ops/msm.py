@@ -32,6 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.config import get_config
+from ..utils.tracing import tracer
 from .limb import fr_field, fq_field
 from .ec import device_g1
 
@@ -49,13 +51,16 @@ class MsmPlan:
         self.G1 = device_g1()
         self.Fq = fq_field()
         self.Fr = fr_field()
+        cfg = get_config()
         if window_group is None:
-            # cap gathered-point memory at ~2^22 point-slots per group
-            window_group = max(1, min(NUM_WINDOWS, (1 << 22) // max(n, 1)))
+            # cap gathered-point memory (config: msm_group_slots point-slots
+            # per group)
+            window_group = max(
+                1, min(NUM_WINDOWS, cfg.msm_group_slots // max(n, 1)))
         while NUM_WINDOWS % window_group:
             window_group -= 1
         self.wg = window_group
-        self.chunk_len = min(512, n)
+        self.chunk_len = min(cfg.msm_chunk_len, n)
         # pad to a chunk multiple: zero scalars sort into bucket 0, which the
         # reduction drops, so identity-padding is free of correctness cost.
         # For large inputs, pad further so the flattened scan lanes
@@ -218,6 +223,8 @@ class MsmPlan:
         SRS slice); scalar_limbs: (16, N) canonical 16-bit limbs.
         Returns a single projective device point (L, 1) x3."""
         px, py, pz = points
+        tracer.count("msm_dispatch")
+        tracer.count("msm_points", self.n)
         return self._msm_fn(px, py, pz, scalar_limbs)
 
     def msm(self, points, scalars_int):

@@ -71,47 +71,53 @@ class NttPlan:
         # costs ~3 ms per jitted call on axon — ops/limb.py)
         self.bitrev = _bitrev_indices(n)
 
-        def stage_twiddles(root):
-            """Per-stage (L, m) patterns: ones then w_m^j."""
-            tws = []
-            for s in range(1, k + 1):
-                m = 1 << s
-                wm = pow(root, n // m, R_MOD)
-                tws.append(F.pack([1] * (m // 2) + _powers(wm, m // 2)))
-            return tws
-
-        self.tw_fwd = stage_twiddles(w)
-        self.tw_inv = stage_twiddles(w_inv)
-        # first-half-of-block masks per stage (static numpy)
-        self.masks = [(np.arange(n) % (1 << s)) < (1 << (s - 1))
-                      for s in range(1, k + 1)]
+        # full root power tables (L, n): stage twiddles are gathered from
+        # these on the fly inside the rolled stage loop — stage s needs
+        # w_m^j = W[(j & (half-1)) << (k-1-s)], so ONE table serves every
+        # stage and the loop body compiles once (the old per-stage unroll
+        # inlined k Montgomery muls: minutes of remote XLA compile at 2^19)
+        self.tw_fwd = F.powers_host_base(w, n)
+        self.tw_inv = F.powers_host_base(w_inv, n)
 
         self.scale_one = F.pack([1] * n)
         self.scale_n_inv = F.pack([n_inv] * n)
-        self.scale_coset = F.pack(_powers(g, n))
+        self.scale_coset = F.powers_host_base(g, n)
         # coset_idft: iNTT then multiply by g^-i — fold n_inv in
-        self.scale_coset_inv = F.pack(
-            [p * n_inv % R_MOD for p in _powers(g_inv, n)])
+        self.scale_coset_inv = F.powers_host_base(g_inv, n, scale=n_inv)
 
         self._kernel = jax.jit(self._transform)
 
     # -- the single compiled kernel ------------------------------------------
 
     def _transform(self, data, twiddles, pre_scale, post_scale):
-        """data (..., L, n) Montgomery (limb-major) -> (..., L, n)."""
+        """data (..., L, n) Montgomery (limb-major) -> (..., L, n).
+        twiddles: (L, n) full power table of the stage root (fwd or inv)."""
         F = self.F
         n = self.n
+        k = self.k
         x = F.mul(data, pre_scale)
         x = jnp.take(x, self.bitrev, axis=-1)
-        for s, tw in enumerate(twiddles):
-            m = tw.shape[-1]
-            half = m // 2
-            tw_vec = jnp.tile(tw, n // m)                  # (L, n)
-            mask = self.masks[s]                           # (n,) bool
+        if k == 0:
+            return F.mul(x, post_scale)
+        iota = jax.lax.iota(jnp.uint32, n)
+
+        def body(s, x):
+            su = s.astype(jnp.uint32)
+            half = jnp.left_shift(jnp.uint32(1), su)
+            # twiddle index: (j mod half) * (n / 2half); harmlessly also
+            # computed for first-half lanes (their t only feeds the masked
+            # add path through the +half roll, which lands on second-half
+            # twiddled values)
+            idx = jnp.left_shift(iota & (half - 1), jnp.uint32(k - 1) - su)
+            tw_vec = jnp.take(twiddles, idx, axis=-1)      # (L, n)
+            mask = (iota & half) == 0                      # first half
             t = F.mul(x, tw_vec)
-            tr = jnp.roll(t, -half, axis=-1)               # t[j+half] at j
-            xl = jnp.roll(x, half, axis=-1)                # x[j-half] at j
-            x = F.select(mask, F.add(x, tr), F.sub(xl, t))
+            sh = half.astype(jnp.int32)
+            tr = jnp.roll(t, -sh, axis=-1)                 # t[j+half] at j
+            xl = jnp.roll(x, sh, axis=-1)                  # x[j-half] at j
+            return F.select(mask, F.add(x, tr), F.sub(xl, t))
+
+        x = jax.lax.fori_loop(0, k, body, x)
         return F.mul(x, post_scale)
 
     # -- public API (Montgomery limb arrays in and out) ------------------------

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.config import get_config
 from .limb import FieldSpec, FR_SPEC, FQ_SPEC, _int_to_limbs
 
 MASK16 = 0xFFFF
@@ -219,14 +220,24 @@ def _ec_add_call(n: int, tile: int, interpret: bool):
 def ec_add(p, q, interpret: bool | None = None):
     """Fused complete G1 addition on ((24,N),)*3 point tuples.  Tile is
     128 lanes: the full RCB DAG at wider tiles aborts the Mosaic register
-    allocator (SIGABRT at T=512, measured)."""
+    allocator (SIGABRT at T=512, measured).  Odd lane counts are padded
+    to the tile (the formula computes garbage on pad lanes; sliced off)."""
     n = p[0].shape[-1]
+    tile = get_config().ec_tile
     consts = jnp.asarray(_ec_consts())
-    t = 128 if n % 128 == 0 else n
     if interpret is None:
         interpret = _interpret_default()
-    return _ec_add_call(n, t, interpret)(
+    pad = (-n) % tile
+    if pad:
+        def pd(c):
+            return jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)])
+        p = tuple(pd(c) for c in p)
+        q = tuple(pd(c) for c in q)
+    out = _ec_add_call(n + pad, tile, interpret)(
         p[0], p[1], p[2], q[0], q[1], q[2], consts)
+    if pad:
+        out = tuple(c[..., :n] for c in out)
+    return out
 
 
 def _mul_kernel(a_ref, b_ref, c_ref, o_ref):
@@ -266,15 +277,22 @@ def _interpret_default() -> bool:
 
 
 def mont_mul(spec: FieldSpec, a, b, interpret: bool | None = None):
-    """Batched Montgomery mul on (L, N) arrays.  Tiles lanes at 1024/512;
-    interpret mode auto-enables off-TPU (for the CPU test suite)."""
+    """Batched Montgomery mul on (L, N) arrays.  Tiles lanes at 1024/512
+    (odd lane counts padded); interpret mode auto-enables off-TPU (for the
+    CPU test suite)."""
     if a.ndim != 2 or a.shape != b.shape:
         raise ValueError("mont_mul expects equal 2-D (L, N) operands")
     n = a.shape[-1]
     consts = jnp.asarray(_field_consts(spec))
-    t = next((c for c in (1024, 512) if n % c == 0), n)
     if interpret is None:
         interpret = _interpret_default()
+    big = get_config().mul_tile
+    t = next((c for c in (big, 512) if n % c == 0), None)
+    if t is None:
+        pad = (-n) % 512
+        a = jnp.pad(a, [(0, 0), (0, pad)])
+        b = jnp.pad(b, [(0, 0), (0, pad)])
+        return _mul_call(spec, n + pad, 512, interpret)(a, b, consts)[..., :n]
     return _mul_call(spec, n, t, interpret)(a, b, consts)
 
 

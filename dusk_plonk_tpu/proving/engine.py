@@ -36,6 +36,8 @@ from ..ops.limb import fr_field, _int_to_limbs
 from ..ops.ntt import ntt_plan
 from ..ops.ec import device_g1
 from ..ops.msm import MsmPlan
+from ..utils.config import get_config
+from ..utils.tracing import tracer
 from . import widgets
 from .prover import EVAL_TRANSCRIPT_ORDER, compute_first_lagrange_eval
 from .proof import Proof
@@ -174,22 +176,14 @@ class DeviceEngine:
         tile = F.pack(vals)                                # (L, period)
         self.vh_inv8 = jnp.tile(tile, (1, n8 // period))
 
-        # linear table X over the coset: g * w8n^i — geometric ladder
-        w8 = F.pack_scalar(fr_root_of_unity(self.k8))
-        g = F.pack_scalar(FR_GENERATOR)
-
-        @jax.jit
-        def ladder():
-            return F.mul(F.powers(w8, n8), g)
-        self.lin8 = ladder()
+        # linear table X over the coset: g * w8n^i — host-base power tables
+        # (a device scan graph took >14 min of remote compile at 2^19)
+        w8 = fr_root_of_unity(self.k8)
+        self.lin8 = F.powers_host_base(
+            w8, n8, scale=FR_GENERATOR)
 
         # domain roots (round 2) and coset K constants
-        wn = F.pack_scalar(fr_root_of_unity(self.k))
-
-        @jax.jit
-        def roots_ladder():
-            return F.powers(wn, n)
-        self.roots_n = roots_ladder()
+        self.roots_n = F.powers_host_base(fr_root_of_unity(self.k), n)
         import numpy as _np
         self.ks = _np.stack([_int_to_limbs(
             F.spec, v * F.spec.mont_r % F.spec.modulus)[:, None]
@@ -244,8 +238,7 @@ class DeviceEngine:
             nprod = F.mul(F.mul(num[0], num[1]), F.mul(num[2], num[3]))
             dprod = F.mul(F.mul(den[0], den[1]), F.mul(den[2], den[3]))
             ratio = F.mul(nprod, F.batch_inv(dprod))
-            incl = jax.lax.associative_scan(F.mul, ratio,
-                                            axis=ratio.ndim - 1)
+            incl = F.prefix_mul(ratio)
             z = jnp.concatenate(
                 [F.one_mont, incl[..., :n - 1]], axis=-1)
             z_poly = self.plan_n._transform(
@@ -269,7 +262,7 @@ class DeviceEngine:
         # with no buffer reuse (axon allocator) — chunk the 8n domain so
         # each dispatch's working set fits HBM; ONE executable serves all
         # chunks (the start offset is a traced scalar)
-        E = n8 if n8 <= (1 << 15) else n8 // 16
+        E = n8 if n8 <= (1 << 15) else n8 // get_config().quotient_chunks_large
         self.quotient_chunk = E
 
         def round3b(tb, ev0, ev1, ev2, rolled, ch, start):
@@ -364,17 +357,27 @@ class DeviceEngine:
 
         def divide_out(folded, point):
             """(folded - folded(point)) / (X - point) via affine-map scan:
-            acc_k = point*acc_{k-1} + g_k over reversed coefficients."""
+            acc_k = point*acc_{k-1} + g_k over reversed coefficients.
+            Rolled Hillis-Steele over (multiplier, offset) pairs in ONE
+            fori_loop — an associative_scan would inline ~2 log(n)
+            Montgomery muls into the graph (minutes of remote compile)."""
             g = folded[..., ::-1]
             a = jnp.broadcast_to(point, g.shape)
+            m = g.shape[-1]
+            nb = (m - 1).bit_length()
+            idx = jax.lax.iota(jnp.uint32, m)
 
-            def combine(e1, e2):
-                a1, b1 = e1
-                a2, b2 = e2
-                return F.mul(a1, a2), F.add(F.mul(b1, a2), b2)
+            def body(i, carry):
+                av, bv = carry
+                sh = jnp.left_shift(jnp.uint32(1), i)
+                a_sh = jnp.roll(av, sh, axis=-1)
+                b_sh = jnp.roll(bv, sh, axis=-1)
+                live = idx >= sh
+                na = jnp.where(live, F.mul(a_sh, av), av)
+                nb_ = jnp.where(live, F.add(F.mul(b_sh, av), bv), bv)
+                return na, nb_
 
-            _, accs = jax.lax.associative_scan(combine, (a, g),
-                                               axis=g.ndim - 1)
+            _, accs = jax.lax.fori_loop(0, nb, body, (a, g))
             q = accs[..., :-1][..., ::-1]                     # (L, len-1)
             return jnp.concatenate(
                 [q, jnp.zeros((F.L, 1), jnp.uint32)], axis=-1)
@@ -436,6 +439,7 @@ class DeviceEngine:
             nonlocal _t0
             now = _time.perf_counter()
             tm[label] = now - _t0
+            tracer.add_span("prove." + label, now - _t0)
             _t0 = now
 
         cs = Plonk.initialize()

@@ -185,14 +185,15 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
     gate_idx = jnp.asarray(np.array(
         [[g for (c, g) in s] for s in sigmas], np.int32))
     ks = F.pack([1, PERM_K1, PERM_K2, PERM_K3])               # (L, 4)
-    wn = F.pack_scalar(fr_root_of_unity(k))
     ns = len(trimmed.powers)
+    # domain roots from host power tables (a traced power scan at 2^16+
+    # costs minutes of remote XLA compile; this is one broadcast mul)
+    roots_arg = F.powers_host_base(fr_root_of_unity(k), n)
 
     @jax.jit
-    def build(cols, col_idx, gate_idx):
+    def build(cols, col_idx, gate_idx, roots):
         sel_polys = plan._transform(cols, plan.tw_inv, plan.scale_one,
                                     plan.scale_n_inv)
-        roots = F.powers(wn, n)                               # (L, n)
         sig_lagrange = F.mul(
             jnp.moveaxis(ks[:, col_idx], 0, 1),               # (4, L, n)
             jnp.moveaxis(roots[:, gate_idx], 0, 1))
@@ -203,7 +204,8 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
             F.from_mont(all15))
         return sel_polys, sigma_polys, canon
 
-    sel_polys, sigma_polys, canon = build(cols, col_idx, gate_idx)
+    sel_polys, sigma_polys, canon = build(cols, col_idx, gate_idx,
+                                          roots_arg)
 
     srs = G1.pack_points(trimmed.powers)
     msm = MsmPlan(ns)

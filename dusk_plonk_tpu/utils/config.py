@@ -1,0 +1,44 @@
+"""Typed runtime configuration (SURVEY.md §5.6: the reference has only
+cargo features; mesh shape, kernel tile sizes and domain chunking are new,
+TPU-specific design surface).
+
+One process-global config, read at plan/engine construction time —
+changing it after plans are built has no effect on cached executables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class TpuPlonkConfig:
+    # --- MSM (ops/msm.py) -------------------------------------------------
+    msm_window_bits: int = 8        # Pippenger window width
+    msm_chunk_len: int = 512        # sequential depth of the bucket scan
+    msm_group_slots: int = 1 << 22  # point-slot cap per window group
+
+    # --- Pallas kernels (ops/pallas_field.py) ----------------------------
+    mul_tile: int = 1024            # Montgomery-mul lane tile
+    ec_tile: int = 128              # fused EC-add lane tile (register bound)
+
+    # --- quotient grid (proving/engine.py) --------------------------------
+    quotient_chunks_large: int = 16  # 8n-domain split when n8 > 2^15
+
+    # --- mesh (parallel/) --------------------------------------------------
+    mesh_axis: str = "shard"
+
+
+_config = TpuPlonkConfig()
+
+
+def get_config() -> TpuPlonkConfig:
+    return _config
+
+
+def set_config(**overrides) -> TpuPlonkConfig:
+    """Replace fields of the global config (affects plans built after the
+    call).  Returns the new config."""
+    global _config
+    _config = replace(_config, **overrides)
+    return _config

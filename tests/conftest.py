@@ -17,3 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# persistent compilation cache: CPU XLA compiles dominate suite wall-time
+# (shard_map programs take minutes each); cached across runs
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
