@@ -115,7 +115,14 @@ class Plonk:
         y = s.q_o
         if y == 0:
             return None
-        o = (R_MOD - x) * pow(y, -1, R_MOD) % R_MOD
+        # fast paths for q_o = ±1 (the reference has the same special
+        # cases, src/lib.rs:555-602; avoids a modular inverse per gate)
+        if y == R_MOD - 1:
+            o = x
+        elif y == 1:
+            o = (R_MOD - x) % R_MOD
+        else:
+            o = (R_MOD - x) * pow(y, -1, R_MOD) % R_MOD
         return self.append_witness(o)
 
     def append_dummy_gates(self) -> None:
@@ -202,21 +209,25 @@ class Plonk:
 
     # -- arithmetic output gates ------------------------------------------------
 
-    def gate_add(self, s: Constraint) -> int:
-        s = Constraint.arithmetic(s).output(R_MOD - 1)
-        o = self.append_evaluated_output(s)
+    def _gate_with_output(self, s: Constraint) -> int:
+        """Shared gate_add/gate_mul body: ONE private copy of the user's
+        constraint, mutated in place (the chained-builder version copied
+        the 16-field record four more times per gate — the dominant cost
+        of witness synthesis at 2^16 gates, measured)."""
+        c = s._copy()
+        c.q_arith = 1
+        c.q_o = R_MOD - 1
+        o = self.append_evaluated_output(c)
         assert o is not None, "output selector is -1"
-        s = s.o(o)
-        self.append_gate(s)
+        c.w_o = o
+        self.append_custom_gate(c)
         return o
 
+    def gate_add(self, s: Constraint) -> int:
+        return self._gate_with_output(s)
+
     def gate_mul(self, s: Constraint) -> int:
-        s = Constraint.arithmetic(s).output(R_MOD - 1)
-        o = self.append_evaluated_output(s)
-        assert o is not None, "output selector is -1"
-        s = s.o(o)
-        self.append_gate(s)
-        return o
+        return self._gate_with_output(s)
 
     # -- boolean / select / decomposition (src/lib.rs:852-1055) ------------------
 
