@@ -95,8 +95,10 @@ class PlonkParams:
         lo = limbs & 0xFF
         hi = (limbs >> 8) & 0xFF
         digits = np.stack([lo, hi], axis=1).reshape(32, n)   # (32, n)
-        flat_idx = jnp.asarray(
-            digits.astype(np.int64) + np.arange(32)[:, None] * 256)
+        # pure numpy: an eager jnp round-trip here cost minutes on the
+        # tunneled backend (device arrays ride into the jit as args below)
+        flat_idx = (digits.astype(np.int64)
+                    + np.arange(32)[:, None] * 256).astype(np.int32)
 
         # device: gather window entries, then reduce the 32 windows
         # LEVEL BY LEVEL as separate dispatches — the axon XLA allocator
@@ -116,8 +118,7 @@ class PlonkParams:
         def addp(p, q):
             return G1.add(p, q)
 
-        flat_idx = np.asarray(flat_idx)
-        winpts = [gather1(tx, ty, tz, jnp.asarray(flat_idx[w]))
+        winpts = [gather1(tx, ty, tz, flat_idx[w])
                   for w in range(windows)]
         while len(winpts) > 1:
             nxt = [addp(winpts[i], winpts[i + 1])

@@ -75,6 +75,7 @@ class MsmPlan:
         # axon backend costs ~120 ms (separate remote execution), so the
         # padding/digit/combine glue must live inside the jit
         self._msm_fn = jax.jit(self._msm_jit)
+        self._msm_affine_fns = {}
 
     # -- digit extraction ----------------------------------------------------
 
@@ -227,11 +228,62 @@ class MsmPlan:
         tracer.count("msm_points", self.n)
         return self._msm_fn(px, py, pz, scalar_limbs)
 
+    def _msm_affine_jit(self, px, py, pz, limbs_stack):
+        """limbs_stack (B, 16, N) -> canonical affine limbs (B, 2, L) +
+        at-infinity flags (B,).  B sequential MSMs, the projective->affine
+        division (Fermat inverse of Z) and the Montgomery->canonical
+        conversion all inside ONE executable: each host-visible dispatch +
+        fetch cycle costs ~30 ms on the tunneled backend (measured), and
+        the per-commit unpack used to take three of them."""
+        Fq = self.Fq
+        # vmap, not a Python loop: the loop would inline B copies of the
+        # MSM graph (B x the compile time); vmap batches each op instead
+        X, Y, Z = jax.vmap(self._msm_jit,
+                           in_axes=(None, None, None, 0))(
+            px, py, pz, limbs_stack)                 # (B, L, 1) each
+        zinv = Fq.pow_const(Z, Fq.spec.modulus - 2)  # 0 stays 0
+        ax = Fq.from_mont(Fq.mul(X, zinv))
+        ay = Fq.from_mont(Fq.mul(Y, zinv))
+        inf = jnp.all(Z == 0, axis=(-2, -1))         # (B,)
+        return jnp.stack([ax[..., 0], ay[..., 0]], axis=1), inf
+
+    MAX_FUSED_COMMITS = 4
+
+    def msm_affine_batch(self, points, limbs_stack):
+        """points: packed SRS slice; limbs_stack (B, 16, N) canonical.
+        Returns a list of B affine host points ((x, y) ints or None),
+        with ONE dispatch and ONE fetch per group of <=4 (larger fused
+        executables would multiply remote compile time)."""
+        B = limbs_stack.shape[0]
+        if B > self.MAX_FUSED_COMMITS:
+            out = []
+            for s in range(0, B, self.MAX_FUSED_COMMITS):
+                out.extend(self.msm_affine_batch(
+                    points, limbs_stack[s:s + self.MAX_FUSED_COMMITS]))
+            return out
+        fn = self._msm_affine_fns.get(B)
+        if fn is None:
+            fn = self._msm_affine_fns[B] = jax.jit(self._msm_affine_jit)
+        px, py, pz = points
+        tracer.count("msm_dispatch")
+        tracer.count("msm_points", self.n * B)
+        coords, inf = fn(px, py, pz, limbs_stack)
+        coords = np.asarray(jax.device_get(coords)).astype("<u2")
+        inf = np.asarray(jax.device_get(inf))
+        out = []
+        for b in range(B):
+            if inf[b]:
+                out.append(None)
+            else:
+                x = int.from_bytes(coords[b, 0].tobytes(), "little")
+                y = int.from_bytes(coords[b, 1].tobytes(), "little")
+                out.append((x, y))
+        return out
+
     def msm(self, points, scalars_int):
         """Host convenience: scalars as Python ints -> affine host point."""
         limbs = self.Fr.pack(scalars_int, to_mont=False)
-        out = self.msm_device(points, limbs)
-        return self.G1.unpack_points(out)[0]
+        return self.msm_affine_batch(points, limbs[None])[0]
 
 
 @lru_cache(maxsize=None)

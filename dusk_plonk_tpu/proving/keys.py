@@ -209,10 +209,8 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
 
     srs = G1.pack_points(trimmed.powers)
     msm = MsmPlan(ns)
-    commitments = {}
-    for i, name in enumerate(SELECTOR_NAMES + SIGMA_NAMES):
-        out = msm.msm_device(srs, canon[i])
-        commitments[name] = G1.unpack_points(out)[0]
+    pts = msm.msm_affine_batch(srs, canon)
+    commitments = dict(zip(SELECTOR_NAMES + SIGMA_NAMES, pts))
 
     verifier_key = VerificationKey(
         n=m, n_inv=domain.size_inv, generator=domain.generator,
