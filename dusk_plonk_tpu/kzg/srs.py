@@ -65,6 +65,8 @@ class PlonkParams:
         from ..ops.ec import device_g1
         from ..ops.limb import fr_field
 
+        from ..utils.tracing import tracer
+
         tau = _fr_random(rng)
         n = (1 << k) + 7
 
@@ -72,26 +74,29 @@ class PlonkParams:
         window = 8
         windows = 32
         G1 = device_g1()
-        tables = []
-        cur = bls._jac_from_affine(bls.G1_GENERATOR)
-        for _ in range(windows):
-            row = [None]
-            acc = (1, 1, 0)
-            for _ in range(1, 1 << window):
-                acc = bls._jac_add(acc, cur)
-                row.append(bls._jac_to_affine(acc))
-            tables.append(row)
-            for _ in range(window):
-                cur = bls._jac_double(cur)
-        flat = [p for row in tables for p in row]
-        tx, ty, tz = G1.pack_points(flat)            # (24, 32*256) each
+        with tracer.span("srs.window_tables"):
+            tables = []
+            cur = bls._jac_from_affine(bls.G1_GENERATOR)
+            for _ in range(windows):
+                row = [None]
+                acc = (1, 1, 0)
+                for _ in range(1, 1 << window):
+                    acc = bls._jac_add(acc, cur)
+                    row.append(bls._jac_to_affine(acc))
+                tables.append(row)
+                for _ in range(window):
+                    cur = bls._jac_double(cur)
+            flat = [p for row in tables for p in row]
+        with tracer.span("srs.pack_tables"):
+            tx, ty, tz = G1.pack_points(flat)        # (24, 32*256) each
 
         # host: tau power ladder (canonical ints), then 8-bit digits
         F = fr_field()
-        scalars = [1] * n
-        for i in range(1, n):
-            scalars[i] = scalars[i - 1] * tau % R_MOD
-        limbs = F.pack_host(scalars)                         # (16, n) numpy
+        with tracer.span("srs.tau_ladder"):
+            scalars = [1] * n
+            for i in range(1, n):
+                scalars[i] = scalars[i - 1] * tau % R_MOD
+            limbs = F.pack_host(scalars)                     # (16, n) numpy
         lo = limbs & 0xFF
         hi = (limbs >> 8) & 0xFF
         digits = np.stack([lo, hi], axis=1).reshape(32, n)   # (32, n)
@@ -118,17 +123,19 @@ class PlonkParams:
         def addp(p, q):
             return G1.add(p, q)
 
-        winpts = [gather1(tx, ty, tz, flat_idx[w])
-                  for w in range(windows)]
-        while len(winpts) > 1:
-            nxt = [addp(winpts[i], winpts[i + 1])
-                   for i in range(0, len(winpts) - 1, 2)]
-            if len(winpts) % 2:
-                nxt.append(winpts[-1])
-            winpts = nxt
-        out = winpts[0]
-        jax.block_until_ready(out)
-        powers = G1.unpack_points(out)
+        with tracer.span("srs.device_reduce"):
+            winpts = [gather1(tx, ty, tz, flat_idx[w])
+                      for w in range(windows)]
+            while len(winpts) > 1:
+                nxt = [addp(winpts[i], winpts[i + 1])
+                       for i in range(0, len(winpts) - 1, 2)]
+                if len(winpts) % 2:
+                    nxt.append(winpts[-1])
+                winpts = nxt
+            out = winpts[0]
+            jax.block_until_ready(out)
+        with tracer.span("srs.unpack"):
+            powers = G1.unpack_points(out)
 
         h = bls.G2_GENERATOR
         beta_h = bls.g2_mul(h, tau)

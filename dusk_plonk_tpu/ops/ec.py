@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from functools import partial
 
 from ..fields.constants import Q_MOD
 from .limb import fq_field
@@ -53,19 +54,35 @@ class DeviceG1:
         return (F.pack(xs), F.pack(ys), F.pack(zs))
 
     def unpack_points(self, pts):
-        """Projective device points (..., 24, N) -> [(x, y) | None]."""
+        """Projective device points (24, N) -> [(x, y) | None].
+
+        The X/Z, Y/Z division runs ON DEVICE as one batched Fermat
+        inverse (rolled square-and-multiply) — a host loop of per-point
+        `pow(z, -1, p)` took 246 s for a 2^16 SRS (measured); this is one
+        dispatch + one fetch."""
+        import numpy as np
         F = self.F
-        xs = F.unpack(pts[0])
-        ys = F.unpack(pts[1])
-        zs = F.unpack(pts[2])
+        coords, inf = self._jit_to_affine(pts[0], pts[1], pts[2])
+        coords = np.asarray(jax.device_get(coords)).astype("<u2")
+        inf = np.asarray(jax.device_get(inf))
         out = []
-        for x, y, z in zip(xs, ys, zs):
-            if z == 0:
+        for i in range(coords.shape[-1]):
+            if inf[i]:
                 out.append(None)
             else:
-                zi = pow(z, -1, Q_MOD)
-                out.append((x * zi % Q_MOD, y * zi % Q_MOD))
+                x = int.from_bytes(coords[0, :, i].tobytes(), "little")
+                y = int.from_bytes(coords[1, :, i].tobytes(), "little")
+                out.append((x, y))
         return out
+
+    @partial(jax.jit, static_argnums=0)
+    def _jit_to_affine(self, X, Y, Z):
+        F = self.F
+        zinv = F.pow_const(Z, F.spec.modulus - 2)    # 0 stays 0
+        ax = F.from_mont(F.mul(X, zinv))
+        ay = F.from_mont(F.mul(Y, zinv))
+        inf = jnp.all(Z == 0, axis=-2)               # (N,)
+        return jnp.stack([ax, ay]), inf
 
     # -- complete addition (RCB15 alg. 7, a=0) --------------------------------------
 

@@ -256,11 +256,22 @@ class MsmPlan:
         executables would multiply remote compile time)."""
         B = limbs_stack.shape[0]
         if B > self.MAX_FUSED_COMMITS:
+            # pad to a multiple of the group size with zero scalars (the
+            # pad rows commit to infinity, dropped below) so only ONE
+            # fused executable shape ever compiles — an odd tail size is
+            # a fresh ~5 min remote compile (measured at B=3)
+            M = self.MAX_FUSED_COMMITS
+            pad = (-B) % M
+            if pad:
+                limbs_stack = jnp.concatenate(
+                    [limbs_stack, jnp.zeros(
+                        (pad,) + limbs_stack.shape[1:],
+                        limbs_stack.dtype)], axis=0)
             out = []
-            for s in range(0, B, self.MAX_FUSED_COMMITS):
+            for s in range(0, B + pad, M):
                 out.extend(self.msm_affine_batch(
-                    points, limbs_stack[s:s + self.MAX_FUSED_COMMITS]))
-            return out
+                    points, limbs_stack[s:s + M]))
+            return out[:B]
         fn = self._msm_affine_fns.get(B)
         if fn is None:
             fn = self._msm_affine_fns[B] = jax.jit(self._msm_affine_jit)

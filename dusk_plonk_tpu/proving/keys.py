@@ -156,9 +156,11 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
     from ..ops.ntt import ntt_plan
     from ..ops.ec import device_g1
     from ..ops.msm import MsmPlan
+    from ..utils.tracing import tracer
 
-    cs = Plonk.initialize()
-    circuit.synthesize(cs)
+    with tracer.span("compile.synthesize"):
+        cs = Plonk.initialize()
+        circuit.synthesize(cs)
 
     m = cs.m()
     n = next_pow2(m)
@@ -172,14 +174,16 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
     G1 = device_g1()
     plan = ntt_plan(k)
 
-    flat = []
-    for name in SELECTOR_NAMES:
-        attr = {"q_4": "q_d"}.get(name, name)
-        col = [getattr(c, attr) for c in cs.constraints]
-        flat.extend(col + [0] * (n - len(col)))
-    cols = F.pack(flat, shape=(11, n))
+    with tracer.span("compile.pack_selectors"):
+        flat = []
+        for name in SELECTOR_NAMES:
+            attr = {"q_4": "q_d"}.get(name, name)
+            col = [getattr(c, attr) for c in cs.constraints]
+            flat.extend(col + [0] * (n - len(col)))
+        cols = F.pack(flat, shape=(11, n))
 
-    sigmas = cs.perm.compute_sigma_permutations(n)
+    with tracer.span("compile.sigmas"):
+        sigmas = cs.perm.compute_sigma_permutations(n)
     col_idx = jnp.asarray(np.array(
         [[c for (c, g) in s] for s in sigmas], np.int32))     # (4, n)
     gate_idx = jnp.asarray(np.array(
@@ -204,12 +208,16 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
             F.from_mont(all15))
         return sel_polys, sigma_polys, canon
 
-    sel_polys, sigma_polys, canon = build(cols, col_idx, gate_idx,
-                                          roots_arg)
+    with tracer.span("compile.build_polys"):
+        sel_polys, sigma_polys, canon = build(cols, col_idx, gate_idx,
+                                              roots_arg)
+        canon.block_until_ready()
 
-    srs = G1.pack_points(trimmed.powers)
-    msm = MsmPlan(ns)
-    pts = msm.msm_affine_batch(srs, canon)
+    with tracer.span("compile.pack_srs"):
+        srs = G1.pack_points(trimmed.powers)
+        msm = MsmPlan(ns)
+    with tracer.span("compile.commit15"):
+        pts = msm.msm_affine_batch(srs, canon)
     commitments = dict(zip(SELECTOR_NAMES + SIGMA_NAMES, pts))
 
     verifier_key = VerificationKey(
@@ -222,9 +230,10 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
         v_h_coset_8n_inv=None)
 
     prover = Prover(label, trimmed, prover_key, verifier_key, n, m)
-    prover.use_device_engine(DeviceEngine(
-        prover, sel_polys=sel_polys, sigma_polys=sigma_polys,
-        srs=srs, msm=msm))
+    with tracer.span("compile.engine_init"):
+        prover.use_device_engine(DeviceEngine(
+            prover, sel_polys=sel_polys, sigma_polys=sigma_polys,
+            srs=srs, msm=msm))
     verifier = Verifier(label, verifier_key, trimmed.verification_key(),
                         cs.public_input_indexes(), n, m)
     return prover, verifier
