@@ -61,12 +61,10 @@ def _carry(cols):
     return _ks_carry(lo + _shift_rows_val(hi, 1))
 
 
-def _product_cols(a, b, out_rows):
-    """Anti-diagonal column sums of the schoolbook product: a (La, T) times
-    b (Lb, T) -> (out_rows, T), rows < 2^21.  Built with La shifted MACs
-    (scatter-add is not lowerable in Pallas TPU, so accumulation uses
-    pad + masked roll; rows shifted past out_rows are truncated, matching
-    the Montgomery mod-R semantics)."""
+def _product_cols_trunc(a, b, out_rows):
+    """Truncated (mod-R) anti-diagonal sums: masked-roll accumulation —
+    used for the m-product whose out_rows < La+Lb (rows shifted past
+    out_rows drop, matching Montgomery mod-R semantics)."""
     La = a.shape[0]
     Lb = b.shape[0]
     cols = None
@@ -78,6 +76,41 @@ def _product_cols(a, b, out_rows):
         term = _shift_rows_val(lo, i) + _shift_rows_val(hi, i + 1)
         cols = term if cols is None else cols + term
     return cols
+
+
+def _product_cols(a, b, out_rows):
+    """Anti-diagonal column sums of the schoolbook product: a (La, T) times
+    b (Lb, T) -> (out_rows, T), rows < 2^21.
+
+    Pre-shifted-operand scheme: b rides in the full (La+Lb+1)-row space
+    and is ROLLED by one row per iteration, so each partial product lands
+    at its final row offset and accumulates with plain adds — no pads, no
+    iota masks (the circular roll only ever wraps guaranteed-zero guard
+    rows).  ~40% fewer vector ops per iteration than the masked-roll
+    scheme (the data movement dominated, not the multiplies)."""
+    La = a.shape[0]
+    Lb = b.shape[0]
+    full = La + Lb
+    if out_rows < full:
+        return _product_cols_trunc(a, b, out_rows)
+    T = a.shape[1]
+    bs = jnp.pad(b, [(0, full - Lb), (0, 0)])      # guard rows stay zero
+    lo_acc = None
+    hi_acc = None
+    for i in range(La):
+        if i:
+            # rows occupied: i..i+Lb-1; top guard row is always zero, so
+            # the circular wrap inserts zeros — no mask needed
+            bs = pltpu.roll(bs, 1, axis=0)
+        prod = a[i:i + 1] * bs                     # (full, T) exact u32
+        lo = prod & MASK16
+        hi = prod >> 16
+        lo_acc = lo if lo_acc is None else lo_acc + lo
+        hi_acc = hi if hi_acc is None else hi_acc + hi
+    # hi limbs belong one row up; top row of hi_acc is zero (row full-1
+    # only occupied by lo of the last partial), so the wrap is clean
+    cols = lo_acc + pltpu.roll(hi_acc, 1, axis=0)
+    return jnp.pad(cols, [(0, out_rows - full), (0, 0)])[:out_rows]
 
 
 def _sub_borrow(a, b):
