@@ -38,6 +38,32 @@ class PlonkParams:
         self.beta_h = beta_h
         self.msm_fn = None              # injected device MSM: (points, scalars) -> point
 
+    def to_bytes(self) -> bytes:
+        """SCALE layout (reference `PlonkParams` persistence surface,
+        SURVEY.md §5.4): compact(len) ++ len x G1Affine(97B) ++
+        G2Affine h (193B) ++ G2Affine beta_h."""
+        from ..proving.proof import (_g1_scale, _g2_scale,
+                                     scale_compact_encode)
+        out = [scale_compact_encode(len(self.powers))]
+        out.extend(_g1_scale(p) for p in self.powers)
+        out.append(_g2_scale(self.h))
+        out.append(_g2_scale(self.beta_h))
+        return b"".join(out)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "PlonkParams":
+        from ..proving.proof import (_g1_unscale, _g2_unscale,
+                                     scale_compact_decode)
+        n, off = scale_compact_decode(data, 0)
+        if len(data) != off + 97 * n + 193 * 2:
+            raise ValueError(f"bad PlonkParams length {len(data)}")
+        powers = [_g1_unscale(data[off + 97 * i:off + 97 * (i + 1)])
+                  for i in range(n)]
+        off += 97 * n
+        h = _g2_unscale(data[off:off + 193])
+        beta_h = _g2_unscale(data[off + 193:off + 386])
+        return cls(powers, h, beta_h)
+
     @classmethod
     def setup(cls, k: int, rng) -> "PlonkParams":
         """Trusted setup for max degree 2^k (tests regenerate this

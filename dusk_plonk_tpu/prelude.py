@@ -16,6 +16,15 @@ from .rng.chacha import ChaCha12Rng, fr_random
 from .fields.constants import R_MOD as BLS_SCALAR_MODULUS
 from .curves import jubjub
 
+# Scalar/point type names from the reference prelude (src/prelude.rs:12-20).
+# Field elements are canonical Python ints and curve points are (x, y)
+# tuples in this framework; the aliases keep reference-style imports
+# (`from dusk_plonk_tpu.prelude import BlsScalar, JubjubAffine`) working.
+BlsScalar = int
+JubjubScalar = int
+JubjubAffine = tuple
+JubjubExtended = tuple
+
 
 class PlonkKey:
     """Keypair compiler (reference src/key.rs PlonkKey)."""
@@ -42,5 +51,6 @@ __all__ = [
     "ChaCha12Rng", "fr_random", "BLS_SCALAR_MODULUS", "jubjub",
     "UnsupportedWNAF2k", "InconsistentPublicInputsLen",
     "ProofVerificationError", "PairingCheckFailure", "compile_circuit",
-    "compile_circuit_device",
+    "compile_circuit_device", "BlsScalar", "JubjubScalar", "JubjubAffine",
+    "JubjubExtended",
 ]

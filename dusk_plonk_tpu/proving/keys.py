@@ -40,6 +40,34 @@ class VerificationKey:
     generator_inv: int
     commitments: dict  # name -> G1 affine
 
+    def to_bytes(self) -> bytes:
+        """SCALE layout: n (u64 LE) ++ n_inv/generator/generator_inv
+        (32B Montgomery Fr) ++ 15 G1Affine(97B) in selector+sigma order."""
+        from .proof import _fr_scale, _g1_scale
+        out = [self.n.to_bytes(8, "little"),
+               _fr_scale(self.n_inv), _fr_scale(self.generator),
+               _fr_scale(self.generator_inv)]
+        out.extend(_g1_scale(self.commitments[name])
+                   for name in SELECTOR_NAMES + SIGMA_NAMES)
+        return b"".join(out)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "VerificationKey":
+        from .proof import _fr_unscale, _g1_unscale
+        if len(data) != 8 + 3 * 32 + 15 * 97:
+            raise ValueError(f"bad VerificationKey length {len(data)}")
+        n = int.from_bytes(data[0:8], "little")
+        n_inv = _fr_unscale(data[8:40])
+        generator = _fr_unscale(data[40:72])
+        generator_inv = _fr_unscale(data[72:104])
+        commitments = {}
+        off = 104
+        for name in SELECTOR_NAMES + SIGMA_NAMES:
+            commitments[name] = _g1_unscale(data[off:off + 97])
+            off += 97
+        return cls(n=n, n_inv=n_inv, generator=generator,
+                   generator_inv=generator_inv, commitments=commitments)
+
 
 @dataclass
 class ProvingKey:

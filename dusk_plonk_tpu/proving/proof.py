@@ -78,6 +78,45 @@ def _g1_unscale(b: bytes):
     return (_fq_unscale(b[0:48]), _fq_unscale(b[48:96]))
 
 
+def _g2_scale(p) -> bytes:
+    """G2Affine SCALE: x.c0, x.c1, y.c0, y.c1 (48B Montgomery LE each) +
+    is_infinity (1B)."""
+    if p is None:
+        return b"\x00" * 192 + b"\x01"
+    (x0, x1), (y0, y1) = p
+    return (_fq_scale(x0) + _fq_scale(x1)
+            + _fq_scale(y0) + _fq_scale(y1) + b"\x00")
+
+
+def _g2_unscale(b: bytes):
+    if b[192] == 1:
+        return None
+    return ((_fq_unscale(b[0:48]), _fq_unscale(b[48:96])),
+            (_fq_unscale(b[96:144]), _fq_unscale(b[144:192])))
+
+
+def scale_compact_encode(n: int) -> bytes:
+    """parity-scale-codec compact<u32> encoding."""
+    if n < 1 << 6:
+        return bytes([n << 2])
+    if n < 1 << 14:
+        return ((n << 2) | 0b01).to_bytes(2, "little")
+    if n < 1 << 30:
+        return ((n << 2) | 0b10).to_bytes(4, "little")
+    raise ValueError("compact length out of range")
+
+
+def scale_compact_decode(data: bytes, off: int):
+    mode = data[off] & 0b11
+    if mode == 0b00:
+        return data[off] >> 2, off + 1
+    if mode == 0b01:
+        return int.from_bytes(data[off:off + 2], "little") >> 2, off + 2
+    if mode == 0b10:
+        return int.from_bytes(data[off:off + 4], "little") >> 2, off + 4
+    raise ValueError("unsupported compact mode")
+
+
 @dataclass
 class Proof:
     a_comm: tuple
