@@ -51,6 +51,16 @@ def _powers(base: int, n: int) -> list[int]:
     return out
 
 
+@jax.jit
+def _stack_stages(W, idx):
+    """(L, n) power table + (k, n) stage index rows -> (k, L, n) stacked
+    per-stage twiddle vectors (one-time, at plan construction)."""
+    k, n = idx.shape
+    L = W.shape[0]
+    g = jnp.take(W, idx.reshape(-1), axis=1)       # (L, k*n)
+    return jnp.moveaxis(g.reshape(L, k, n), 1, 0)
+
+
 class NttPlan:
     """All device-resident tables for one domain size 2^k."""
 
@@ -71,13 +81,28 @@ class NttPlan:
         # costs ~3 ms per jitted call on axon — ops/limb.py)
         self.bitrev = _bitrev_indices(n)
 
-        # full root power tables (L, n): stage twiddles are gathered from
-        # these on the fly inside the rolled stage loop — stage s needs
-        # w_m^j = W[(j & (half-1)) << (k-1-s)], so ONE table serves every
-        # stage and the loop body compiles once (the old per-stage unroll
-        # inlined k Montgomery muls: minutes of remote XLA compile at 2^19)
-        self.tw_fwd = F.powers_host_base(w, n)
-        self.tw_inv = F.powers_host_base(w_inv, n)
+        # Stage twiddles, rolled-loop form (the old per-stage unroll
+        # inlined k Montgomery muls: minutes of remote XLA compile at
+        # 2^19).  Stage s needs w_m^j = W[(j & (half-1)) << (k-1-s)] from
+        # the full power table W.  Two servings:
+        #  * stacked (k, L, n) per-stage tables, indexed by a contiguous
+        #    dynamic slice in the loop — fastest (the per-stage element
+        #    gather cost 15 ms/stage at 2^19, measured), k*L*n*4B memory;
+        #  * the raw (L, n) power table with an in-loop gather — O(n)
+        #    memory, for domains past config.ntt_stacked_max_k.
+        from ..utils.config import get_config
+        self.stacked = 1 <= k <= get_config().ntt_stacked_max_k
+        tw_fwd = F.powers_host_base(w, n)
+        tw_inv = F.powers_host_base(w_inv, n)
+        if self.stacked:
+            idx = np.stack([
+                ((np.arange(n) & ((1 << s) - 1)) << (k - 1 - s))
+                for s in range(k)]).astype(np.int32)         # (k, n)
+            self.tw_fwd = _stack_stages(tw_fwd, idx)
+            self.tw_inv = _stack_stages(tw_inv, idx)
+        else:
+            self.tw_fwd = tw_fwd
+            self.tw_inv = tw_inv
 
         self.scale_one = F.pack([1] * n)
         self.scale_n_inv = F.pack([n_inv] * n)
@@ -91,7 +116,8 @@ class NttPlan:
 
     def _transform(self, data, twiddles, pre_scale, post_scale):
         """data (..., L, n) Montgomery (limb-major) -> (..., L, n).
-        twiddles: (L, n) full power table of the stage root (fwd or inv)."""
+        twiddles: (k, L, n) stacked per-stage vectors, or the (L, n) full
+        power table of the stage root (gathered in-loop)."""
         F = self.F
         n = self.n
         k = self.k
@@ -99,17 +125,33 @@ class NttPlan:
         x = jnp.take(x, self.bitrev, axis=-1)
         if k == 0:
             return F.mul(x, post_scale)
+        stacked = twiddles.ndim == 3
+        from .limb import _pallas_wanted
+        if stacked and n >= 1024 and _pallas_wanted():
+            # fused butterfly ladder: local stages batched in VMEM +
+            # scalar-prefetch paired-block global stages (~5 HBM passes
+            # per stage with the XLA loop below, ~1-2 with the kernels)
+            from . import pallas_field as pf
+            lead = x.shape[:-2]
+            xb = x.reshape((-1,) + x.shape[-2:])
+            out = pf.ntt_ladder(xb, twiddles, k)
+            return F.mul(out.reshape(lead + x.shape[-2:]), post_scale)
         iota = jax.lax.iota(jnp.uint32, n)
 
         def body(s, x):
             su = s.astype(jnp.uint32)
             half = jnp.left_shift(jnp.uint32(1), su)
-            # twiddle index: (j mod half) * (n / 2half); harmlessly also
-            # computed for first-half lanes (their t only feeds the masked
-            # add path through the +half roll, which lands on second-half
-            # twiddled values)
-            idx = jnp.left_shift(iota & (half - 1), jnp.uint32(k - 1) - su)
-            tw_vec = jnp.take(twiddles, idx, axis=-1)      # (L, n)
+            if stacked:
+                tw_vec = jax.lax.dynamic_index_in_dim(
+                    twiddles, s, 0, keepdims=False)        # (L, n)
+            else:
+                # twiddle index: (j mod half) * (n / 2half); harmlessly
+                # also computed for first-half lanes (their t only feeds
+                # the masked add path through the +half roll, which lands
+                # on second-half twiddled values)
+                idx = jnp.left_shift(iota & (half - 1),
+                                     jnp.uint32(k - 1) - su)
+                tw_vec = jnp.take(twiddles, idx, axis=-1)  # (L, n)
             mask = (iota & half) == 0                      # first half
             t = F.mul(x, tw_vec)
             sh = half.astype(jnp.int32)

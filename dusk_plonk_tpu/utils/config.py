@@ -25,6 +25,13 @@ class TpuPlonkConfig:
     # --- quotient grid (proving/engine.py) --------------------------------
     quotient_chunks_large: int = 16  # 8n-domain split when n8 > 2^15
 
+    # --- NTT (ops/ntt.py, ops/pallas_field.py) -----------------------------
+    ntt_tile: int = 1024            # fused-ladder lane tile (s_T = log2)
+    # stacked (k, L, n) per-stage twiddle tables replace the per-stage
+    # element gather (15 ms/stage at 2^19, measured) with a contiguous
+    # dynamic slice; memory is k*L*n*4B per direction, so gate by k
+    ntt_stacked_max_k: int = 20
+
     # --- mesh (parallel/) --------------------------------------------------
     mesh_axis: str = "shard"
 

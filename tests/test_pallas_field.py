@@ -77,3 +77,32 @@ def test_pallas_tiling_grid():
     pa = F.pack(a)
     got = F.unpack(pf.mont_mul(F.spec, pa, pa))
     assert got == [x * x % R_MOD for x in a]
+
+
+def test_ntt_ladder_matches_xla_path():
+    """Fused pallas butterfly ladder (interpret mode) vs the rolled-XLA
+    stage loop on the same stacked twiddle tables."""
+    import jax.numpy as jnp
+    import numpy as np
+    from dusk_plonk_tpu.ops import pallas_field as pf
+    from dusk_plonk_tpu.ops.ntt import ntt_plan
+    from dusk_plonk_tpu.ops.limb import fr_field
+    from dusk_plonk_tpu.fields.constants import R_MOD
+
+    k = 11  # n=2048: one local pass (tile 1024) + one global stage
+    plan = ntt_plan(k)
+    assert plan.stacked
+    F = fr_field()
+    rng = np.random.default_rng(7)
+    vals = [int.from_bytes(rng.bytes(32), "little") % R_MOD
+            for _ in range(2 * plan.n)]
+    x = F.pack(vals, shape=(2, plan.n))
+
+    # oracle: the XLA rolled loop (pallas off on CPU)
+    want = plan._transform(x, plan.tw_fwd, plan.scale_one, plan.scale_one)
+
+    xb = F.mul(x, plan.scale_one)
+    xb = jnp.take(xb, plan.bitrev, axis=-1)
+    got = pf.ntt_ladder(xb, plan.tw_fwd, k, interpret=True)
+    got = F.mul(got, plan.scale_one)
+    assert F.unpack(got) == F.unpack(want)
