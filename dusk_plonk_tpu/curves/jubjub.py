@@ -12,7 +12,8 @@ Points are (x, y) tuples; the identity is (0, 1).
 
 from __future__ import annotations
 
-from ..fields.constants import R_MOD, JUBJUB_D, JUBJUB_FP, JUBJUB_COFACTOR
+from ..fields.constants import (R_MOD, JUBJUB_D, JUBJUB_FP, JUBJUB_COFACTOR,
+                                JUBJUB_GENERATOR_X, JUBJUB_GENERATOR_Y)
 
 D = JUBJUB_D
 IDENTITY = (0, 1)
@@ -60,39 +61,6 @@ def mul(p, k: int):
     return acc
 
 
-def _derive_generator():
-    """Deterministic generator derivation.
-
-    The reference's ADDITIVE_GENERATOR/GENERATOR_EXTENDED constants live in
-    the unmounted `jub-jub` crate; we re-derive a fixed point: the smallest
-    integer y >= 2 whose curve lift exists (x chosen as the even square
-    root) such that the point has prime order (cofactor-cleared check).
-    NOTE: if the reference crate's constant differs, only the *test vectors*
-    for ECC gadget circuits shift; the proof system itself is unaffected.
-    """
-    for y in range(2, 1000):
-        num = (y * y - 1) % R_MOD
-        den = (D * y * y + 1) % R_MOD
-        x2 = num * pow(den, -1, R_MOD) % R_MOD
-        # sqrt in Fr: r ≡ 1 mod 2^32, use Tonelli-Shanks via pow for testing QR
-        if pow(x2, (R_MOD - 1) // 2, R_MOD) != 1:
-            continue
-        x = _sqrt_fr(x2)
-        if x is None:
-            continue
-        if x % 2 == 1:
-            x = R_MOD - x
-        p = (x, y)
-        # ensure the cofactor-cleared point is non-trivial and p has order
-        # divisible by the prime subgroup order
-        if mul(p, JUBJUB_COFACTOR) == IDENTITY:
-            continue
-        if mul(p, JUBJUB_FP * JUBJUB_COFACTOR) != IDENTITY:
-            continue
-        return p
-    raise RuntimeError("no generator found")
-
-
 def _sqrt_fr(a: int):
     """Tonelli-Shanks square root in Fr (2-adicity 32)."""
     if a == 0:
@@ -123,7 +91,11 @@ def _sqrt_fr(a: int):
     return root
 
 
-GENERATOR = _derive_generator()
+# The published dusk-jubjub `GENERATOR` (prime-order subgroup generator;
+# see fields/constants.py for provenance).  Used wherever the reference uses
+# `ADDITIVE_GENERATOR`/`GENERATOR_EXTENDED` (reference src/lib.rs:85,
+# tests/boolean.rs:200, README.md:64).
+GENERATOR = (JUBJUB_GENERATOR_X, JUBJUB_GENERATOR_Y)
 
 
 def compute_windowed_naf(scalar: int, width: int) -> list[int]:

@@ -65,14 +65,16 @@ JUBJUB_D = (-10240 * pow(10241, -1, R_MOD)) % R_MOD
 JUBJUB_FP = 0x0E7DB4EA6533AFA906673B0101343B00A6682093CCC81082D0970E5ED6F72CB7
 JUBJUB_COFACTOR = 8
 
-# Additive generator used by the gadget tests. The reference takes this from
-# the unmounted `jub-jub` crate (usage: reference `src/lib.rs:85`,
-# `README.md:64`); we pin the dusk-jubjub convention: GENERATOR is the point
-# with x-coordinate -4 (mod r) and the odd... — since the crate source is not
-# mounted the concrete point is re-derived deterministically in
-# `curves/jubjub.py` (smallest integer y >= 2 whose curve lift exists and has
-# full order after cofactor clearing) and documented there. Internal proofs
-# are self-consistent regardless of this choice.
+# Additive generator. The reference takes this from the unmounted `jub-jub`
+# crate (usage: reference `src/lib.rs:85`, `README.md:64`); we pin the
+# published dusk-jubjub `GENERATOR` constant (dusk-network/jubjub
+# src/lib.rs: from_raw limbs [0x4df7b7ffec7beaca, 0x2e3ebb21fd6c54ed,
+# 0xf1fbf02d0fd6cce6, 0x3fd2814c43ac65a6] / [0x12, 0, 0, 0]) — verified
+# on-curve and prime-order in tests/test_curves.py.  UNVERIFIED vs the
+# Kogarashi fork's own jub-jub crate (not mounted); if theirs differs, only
+# the ECC-gadget circuit constants shift — the proof system is unaffected.
+JUBJUB_GENERATOR_X = 0x3FD2814C43AC65A6F1FBF02D0FD6CCE62E3EBB21FD6C54ED4DF7B7FFEC7BEACA
+JUBJUB_GENERATOR_Y = 0x12
 
 # Permutation argument coset multipliers (reference src/permutation.rs:28-30)
 PERM_K1 = 7

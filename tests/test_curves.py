@@ -89,6 +89,12 @@ def test_pairing_kzg_shape():
 
 def test_jubjub_group():
     g = jj.GENERATOR
+    # pinned published dusk-jubjub GENERATOR (prime order: not killed by the
+    # cofactor, killed by the subgroup order)
+    assert g == (0x3FD2814C43AC65A6F1FBF02D0FD6CCE62E3EBB21FD6C54ED4DF7B7FFEC7BEACA,
+                 0x12)
+    assert jj.mul(g, JUBJUB_COFACTOR) != jj.IDENTITY
+    assert jj.mul(g, JUBJUB_FP) == jj.IDENTITY
     assert jj.is_on_curve(g)
     assert jj.add(g, jj.IDENTITY) == g
     assert jj.add(g, jj.neg(g)) == jj.IDENTITY
