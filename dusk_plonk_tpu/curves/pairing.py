@@ -90,5 +90,12 @@ def pairing(p, q):
 
 def multi_pairing_is_one(pairs) -> bool:
     """multi_miller_loop(pairs).final_exp() == Gt identity — the exact
-    shape of the reference's batch_check (src/commitment_scheme.rs:56-62)."""
+    shape of the reference's batch_check (src/commitment_scheme.rs:56-62).
+
+    Routed through the native C++ engine when available (differential-tested
+    against this module's Python path in tests/test_native.py); the Python
+    path is the fallback oracle."""
+    from .. import native
+    if native.available():
+        return native.pairing_is_one(pairs)
     return final_exponentiation(miller_loop(pairs)) == FQ12_ONE

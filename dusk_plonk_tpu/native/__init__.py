@@ -27,15 +27,21 @@ def lib():
     if _tried:
         return _lib
     _tried = True
+    # Always run make: it is a no-op when libdusk_native.so is newer than
+    # dusk_native.cpp, and rebuilds a stale .so (missing newer symbols)
+    # otherwise.  Falls through to any existing .so if the compile fails.
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
     if not os.path.exists(_SO):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
+        return None
     try:
         L = ctypes.CDLL(_SO)
     except OSError:
+        return None
+    if not hasattr(L, "dn_pairing_is_one"):  # stale pre-pairing build
         return None
     L.dn_keccak_f1600.argtypes = [ctypes.c_char_p]
     L.dn_chacha_blocks.argtypes = [
@@ -48,6 +54,15 @@ def lib():
     L.dn_fr_ntt.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
     L.dn_fr_scale_geo.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p]
+    L.dn_miller_loop.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_char_p]
+    L.dn_final_exp.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
+    L.dn_pairing_is_one.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+    L.dn_pairing_is_one.restype = ctypes.c_int
     _lib = L
     return _lib
 
@@ -121,3 +136,70 @@ def fr_scale_geo(values: list[int], s: int, g: int) -> list[int]:
     raw = buf.raw
     return [int.from_bytes(raw[32 * i:32 * i + 32], "little")
             for i in range(n)]
+
+
+# -- pairing (reference src/commitment_scheme.rs:56-62 via unmounted
+#    ec-pairing; mirrors curves/pairing.py so the two are differential-
+#    testable on full Fq12 values) --------------------------------------------
+
+def _pack_pairs(pairs):
+    n = len(pairs)
+    g1 = bytearray(96 * n)
+    g1i = bytearray(n)
+    g2 = bytearray(192 * n)
+    g2i = bytearray(n)
+    for i, (p, q) in enumerate(pairs):
+        if p is None:
+            g1i[i] = 1
+        else:
+            g1[96 * i:96 * i + 48] = int(p[0]).to_bytes(48, "little")
+            g1[96 * i + 48:96 * i + 96] = int(p[1]).to_bytes(48, "little")
+        if q is None:
+            g2i[i] = 1
+        else:
+            (x0, x1), (y0, y1) = q
+            o = 192 * i
+            g2[o:o + 48] = int(x0).to_bytes(48, "little")
+            g2[o + 48:o + 96] = int(x1).to_bytes(48, "little")
+            g2[o + 96:o + 144] = int(y0).to_bytes(48, "little")
+            g2[o + 144:o + 192] = int(y1).to_bytes(48, "little")
+    return bytes(g1), bytes(g1i), bytes(g2), bytes(g2i), n
+
+
+def _fq12_from_bytes(raw):
+    vals = [int.from_bytes(raw[48 * i:48 * i + 48], "little")
+            for i in range(12)]
+    return (((vals[0], vals[1]), (vals[2], vals[3]), (vals[4], vals[5])),
+            ((vals[6], vals[7]), (vals[8], vals[9]), (vals[10], vals[11])))
+
+
+def _fq12_to_bytes(f):
+    flat = [c for fq6 in f for fq2 in fq6 for c in fq2]
+    return b"".join(int(v).to_bytes(48, "little") for v in flat)
+
+
+def miller_loop(pairs):
+    """Product of Miller loops; returns a host Fq12 tuple."""
+    g1, g1i, g2, g2i, n = _pack_pairs(pairs)
+    out = ctypes.create_string_buffer(576)
+    lib().dn_miller_loop(g1, g1i, g2, g2i, n,
+                         ctypes.cast(out, ctypes.c_char_p))
+    return _fq12_from_bytes(out.raw)
+
+
+def final_exp(f):
+    """Full final exponentiation of a host Fq12 tuple."""
+    from ..curves.pairing import _HARD_EXP
+    he = int(_HARD_EXP).to_bytes((_HARD_EXP.bit_length() + 7) // 8, "little")
+    out = ctypes.create_string_buffer(576)
+    lib().dn_final_exp(_fq12_to_bytes(f), he, len(he),
+                       ctypes.cast(out, ctypes.c_char_p))
+    return _fq12_from_bytes(out.raw)
+
+
+def pairing_is_one(pairs) -> bool:
+    """multi_miller_loop(pairs).final_exp() == Gt identity, natively."""
+    from ..curves.pairing import _HARD_EXP
+    g1, g1i, g2, g2i, n = _pack_pairs(pairs)
+    he = int(_HARD_EXP).to_bytes((_HARD_EXP.bit_length() + 7) // 8, "little")
+    return bool(lib().dn_pairing_is_one(g1, g1i, g2, g2i, n, he, len(he)))

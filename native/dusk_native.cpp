@@ -543,3 +543,577 @@ extern "C" void dn_fr_scale_geo(uint8_t* data, int64_t n, const uint8_t* s32,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// Pairing: Fq2/Fq6/Fq12 tower + affine Miller loop + final exponentiation.
+//
+// The reference consumes `TatePairing::multi_miller_loop(..).final_exp()`
+// from its unmounted ec-pairing crate and only compares against the Gt
+// identity (reference src/commitment_scheme.rs:56-62).  This mirrors the
+// validated pure-Python host oracle (dusk_plonk_tpu/curves/pairing.py,
+// fields/host.py) operation-for-operation so the two are differentially
+// testable on full Fq12 values, not just the boolean check.
+//
+// Tower: Fq2 = Fq[u]/(u^2+1), Fq6 = Fq2[v]/(v^3-(u+1)), Fq12 = Fq6[w]/(w^2-v).
+// All Fq values below are in the Montgomery domain.
+// ---------------------------------------------------------------------------
+
+struct Fq2v { u64 c0[6], c1[6]; };
+struct Fq6v { Fq2v c0, c1, c2; };
+struct Fq12v { Fq6v c0, c1; };
+
+static void fq2_addv(Fq2v& r, const Fq2v& a, const Fq2v& b) {
+  add_mod<6>(r.c0, a.c0, b.c0, FQ);
+  add_mod<6>(r.c1, a.c1, b.c1, FQ);
+}
+static void fq2_subv(Fq2v& r, const Fq2v& a, const Fq2v& b) {
+  sub_mod<6>(r.c0, a.c0, b.c0, FQ);
+  sub_mod<6>(r.c1, a.c1, b.c1, FQ);
+}
+static void fq2_negv(Fq2v& r, const Fq2v& a) {
+  u64 zero[6] = {0};
+  sub_mod<6>(r.c0, zero, a.c0, FQ);
+  sub_mod<6>(r.c1, zero, a.c1, FQ);
+}
+static void fq2_mulv(Fq2v& r, const Fq2v& a, const Fq2v& b) {
+  // Karatsuba: c0 = a0 b0 - a1 b1; c1 = (a0+a1)(b0+b1) - a0 b0 - a1 b1
+  u64 t0[6], t1[6], sa[6], sb[6], m[6];
+  mont_mul<6>(t0, a.c0, b.c0, FQ);
+  mont_mul<6>(t1, a.c1, b.c1, FQ);
+  add_mod<6>(sa, a.c0, a.c1, FQ);
+  add_mod<6>(sb, b.c0, b.c1, FQ);
+  mont_mul<6>(m, sa, sb, FQ);
+  sub_mod<6>(m, m, t0, FQ);
+  sub_mod<6>(r.c1, m, t1, FQ);
+  sub_mod<6>(r.c0, t0, t1, FQ);
+}
+static void fq2_sqv(Fq2v& r, const Fq2v& a) {
+  // (a0+a1)(a0-a1), 2 a0 a1
+  u64 s[6], d[6], m[6];
+  add_mod<6>(s, a.c0, a.c1, FQ);
+  sub_mod<6>(d, a.c0, a.c1, FQ);
+  mont_mul<6>(m, a.c0, a.c1, FQ);
+  mont_mul<6>(r.c0, s, d, FQ);
+  add_mod<6>(r.c1, m, m, FQ);
+}
+static void fq2_invv(Fq2v& r, const Fq2v& a) {
+  // 1/(a0 + a1 u) = (a0 - a1 u) / (a0^2 + a1^2)
+  u64 t0[6], t1[6], s[6], si[6], zero[6] = {0};
+  mont_sqr<6>(t0, a.c0, FQ);
+  mont_sqr<6>(t1, a.c1, FQ);
+  add_mod<6>(s, t0, t1, FQ);
+  fq_inv(si, s);
+  mont_mul<6>(r.c0, a.c0, si, FQ);
+  u64 n1[6];
+  sub_mod<6>(n1, zero, a.c1, FQ);
+  mont_mul<6>(r.c1, n1, si, FQ);
+}
+static void fq2_conjv(Fq2v& r, const Fq2v& a) {
+  u64 zero[6] = {0};
+  memcpy(r.c0, a.c0, 48);
+  sub_mod<6>(r.c1, zero, a.c1, FQ);
+}
+static void fq2_mul_nonres(Fq2v& r, const Fq2v& a) {
+  // * (u+1): (c0 - c1) + (c0 + c1) u
+  u64 d[6], s[6];
+  sub_mod<6>(d, a.c0, a.c1, FQ);
+  add_mod<6>(s, a.c0, a.c1, FQ);
+  memcpy(r.c0, d, 48);
+  memcpy(r.c1, s, 48);
+}
+static void fq2_mul_fq(Fq2v& r, const Fq2v& a, const u64* s) {
+  mont_mul<6>(r.c0, a.c0, s, FQ);
+  mont_mul<6>(r.c1, a.c1, s, FQ);
+}
+static void fq6_addv(Fq6v& r, const Fq6v& a, const Fq6v& b) {
+  fq2_addv(r.c0, a.c0, b.c0);
+  fq2_addv(r.c1, a.c1, b.c1);
+  fq2_addv(r.c2, a.c2, b.c2);
+}
+static void fq6_subv(Fq6v& r, const Fq6v& a, const Fq6v& b) {
+  fq2_subv(r.c0, a.c0, b.c0);
+  fq2_subv(r.c1, a.c1, b.c1);
+  fq2_subv(r.c2, a.c2, b.c2);
+}
+static void fq6_negv(Fq6v& r, const Fq6v& a) {
+  fq2_negv(r.c0, a.c0);
+  fq2_negv(r.c1, a.c1);
+  fq2_negv(r.c2, a.c2);
+}
+static void fq6_mulv(Fq6v& r, const Fq6v& a, const Fq6v& b) {
+  // Toom/Karatsuba layout identical to fields/host.py::fq6_mul
+  Fq2v t0, t1, t2, s1, s2, m, x;
+  fq2_mulv(t0, a.c0, b.c0);
+  fq2_mulv(t1, a.c1, b.c1);
+  fq2_mulv(t2, a.c2, b.c2);
+  // c0 = t0 + nonres((a1+a2)(b1+b2) - t1 - t2)
+  fq2_addv(s1, a.c1, a.c2);
+  fq2_addv(s2, b.c1, b.c2);
+  fq2_mulv(m, s1, s2);
+  fq2_subv(m, m, t1);
+  fq2_subv(m, m, t2);
+  fq2_mul_nonres(x, m);
+  Fq2v c0, c1, c2;
+  fq2_addv(c0, t0, x);
+  // c1 = (a0+a1)(b0+b1) - t0 - t1 + nonres(t2)
+  fq2_addv(s1, a.c0, a.c1);
+  fq2_addv(s2, b.c0, b.c1);
+  fq2_mulv(m, s1, s2);
+  fq2_subv(m, m, t0);
+  fq2_subv(m, m, t1);
+  fq2_mul_nonres(x, t2);
+  fq2_addv(c1, m, x);
+  // c2 = (a0+a2)(b0+b2) - t0 - t2 + t1
+  fq2_addv(s1, a.c0, a.c2);
+  fq2_addv(s2, b.c0, b.c2);
+  fq2_mulv(m, s1, s2);
+  fq2_subv(m, m, t0);
+  fq2_subv(m, m, t2);
+  fq2_addv(c2, m, t1);
+  r.c0 = c0; r.c1 = c1; r.c2 = c2;
+}
+static void fq6_sqv(Fq6v& r, const Fq6v& a) { fq6_mulv(r, a, a); }
+static void fq6_mul_nonres(Fq6v& r, const Fq6v& a) {
+  // * v: (nonres(c2), c0, c1)
+  Fq2v t;
+  fq2_mul_nonres(t, a.c2);
+  Fq2v c1 = a.c0, c2 = a.c1;
+  r.c0 = t; r.c1 = c1; r.c2 = c2;
+}
+static void fq6_invv(Fq6v& r, const Fq6v& a) {
+  Fq2v c0, c1, c2, t, m1, m2, s;
+  fq2_sqv(c0, a.c0);
+  fq2_mulv(t, a.c1, a.c2);
+  fq2_mul_nonres(t, t);
+  fq2_subv(c0, c0, t);
+  fq2_sqv(t, a.c2);
+  fq2_mul_nonres(t, t);
+  fq2_mulv(m1, a.c0, a.c1);
+  fq2_subv(c1, t, m1);
+  fq2_sqv(t, a.c1);
+  fq2_mulv(m2, a.c0, a.c2);
+  fq2_subv(c2, t, m2);
+  // t = inv(a0*c0 + nonres(a2*c1 + a1*c2))
+  fq2_mulv(m1, a.c2, c1);
+  fq2_mulv(m2, a.c1, c2);
+  fq2_addv(s, m1, m2);
+  fq2_mul_nonres(s, s);
+  fq2_mulv(m1, a.c0, c0);
+  fq2_addv(s, m1, s);
+  fq2_invv(t, s);
+  fq2_mulv(r.c0, t, c0);
+  fq2_mulv(r.c1, t, c1);
+  fq2_mulv(r.c2, t, c2);
+}
+
+static void fq12_mulv(Fq12v& r, const Fq12v& a, const Fq12v& b) {
+  Fq6v t0, t1, s1, s2, m, x;
+  fq6_mulv(t0, a.c0, b.c0);
+  fq6_mulv(t1, a.c1, b.c1);
+  fq6_addv(s1, a.c0, a.c1);
+  fq6_addv(s2, b.c0, b.c1);
+  fq6_mulv(m, s1, s2);
+  fq6_subv(m, m, t0);
+  fq6_subv(m, m, t1);
+  fq6_mul_nonres(x, t1);
+  fq6_addv(r.c0, t0, x);
+  r.c1 = m;
+}
+static void fq12_sqv(Fq12v& r, const Fq12v& a) {
+  // complex squaring, mirrors host.py::fq12_sq
+  Fq6v t, s1, s2, m;
+  fq6_mulv(t, a.c0, a.c1);
+  fq6_addv(s1, a.c0, a.c1);
+  fq6_mul_nonres(s2, a.c1);
+  fq6_addv(s2, a.c0, s2);
+  fq6_mulv(m, s1, s2);
+  fq6_mul_nonres(s2, t);
+  fq6_addv(s2, t, s2);
+  fq6_subv(r.c0, m, s2);
+  fq6_addv(r.c1, t, t);
+}
+static void fq12_conjv(Fq12v& r, const Fq12v& a) {
+  r.c0 = a.c0;
+  fq6_negv(r.c1, a.c1);
+}
+static void fq12_invv(Fq12v& r, const Fq12v& a) {
+  Fq6v s0, s1, t;
+  fq6_sqv(s0, a.c0);
+  fq6_sqv(s1, a.c1);
+  fq6_mul_nonres(s1, s1);
+  fq6_subv(s0, s0, s1);
+  fq6_invv(t, s0);
+  fq6_mulv(r.c0, a.c0, t);
+  fq6_mulv(s1, a.c1, t);
+  fq6_negv(r.c1, s1);
+}
+
+// Frobenius coefficients gamma_j = (u+1)^(j*(q-1)/6), j = 0..5 (Montgomery)
+static Fq2v FROB12[6];
+static bool FROB_INIT = false;
+
+static void fq2_pow_bits(Fq2v& r, const Fq2v& base, const u64* e, int words) {
+  Fq2v acc;
+  memcpy(acc.c0, FQ.one, 48);
+  memset(acc.c1, 0, 48);
+  bool started = false;
+  for (int w = words - 1; w >= 0; w--)
+    for (int b = 63; b >= 0; b--) {
+      if (started) fq2_sqv(acc, acc);
+      if ((e[w] >> b) & 1) {
+        if (started) fq2_mulv(acc, acc, base);
+        else { acc = base; started = true; }
+      }
+    }
+  r = acc;
+}
+
+static void frob_init() {
+  if (FROB_INIT) return;
+  // e = (q-1)/6 as 6 words: q-1 is even; divide by 6 via long division
+  u64 qm1[6];
+  memcpy(qm1, FQ_MOD, 48);
+  qm1[0] -= 1;  // q is odd, no borrow
+  u64 e[6];
+  u128 rem = 0;
+  for (int i = 5; i >= 0; i--) {
+    u128 cur = (rem << 64) | qm1[i];
+    e[i] = (u64)(cur / 6);
+    rem = cur % 6;
+  }
+  Fq2v xi;  // u+1 in Montgomery
+  memcpy(xi.c0, FQ.one, 48);
+  memcpy(xi.c1, FQ.one, 48);
+  // FROB12[j] = xi^(j*e) — computed as successive powers of xi^e
+  Fq2v g;
+  fq2_pow_bits(g, xi, e, 6);
+  memcpy(FROB12[0].c0, FQ.one, 48);
+  memset(FROB12[0].c1, 0, 48);
+  for (int j = 1; j < 6; j++) fq2_mulv(FROB12[j], FROB12[j - 1], g);
+  FROB_INIT = true;
+}
+
+static void fq6_frobv(Fq6v& r, const Fq6v& a) {
+  fq2_conjv(r.c0, a.c0);
+  Fq2v t;
+  fq2_conjv(t, a.c1);
+  fq2_mulv(r.c1, t, FROB12[2]);
+  fq2_conjv(t, a.c2);
+  fq2_mulv(r.c2, t, FROB12[4]);
+}
+static void fq12_frobv(Fq12v& r, const Fq12v& a) {
+  frob_init();
+  fq6_frobv(r.c0, a.c0);
+  Fq6v t;
+  fq6_frobv(t, a.c1);
+  fq2_mulv(r.c1.c0, t.c0, FROB12[1]);
+  fq2_mulv(r.c1.c1, t.c1, FROB12[1]);
+  fq2_mulv(r.c1.c2, t.c2, FROB12[1]);
+}
+
+// byte layout for an Fq12: 12 canonical LE 48-byte Fq values in the order
+// c0.c0.c0, c0.c0.c1, c0.c1.c0, c0.c1.c1, c0.c2.c0, c0.c2.c1,
+// c1.c0.c0, ... c1.c2.c1  (576 bytes total), matching the Python tuple
+// nesting ((c0,c1,c2),(c0,c1,c2)) of pairs.
+static void fq12_load(Fq12v& r, const uint8_t* b) {
+  u64 t[6];
+  u64* slots[12] = {r.c0.c0.c0, r.c0.c0.c1, r.c0.c1.c0, r.c0.c1.c1,
+                    r.c0.c2.c0, r.c0.c2.c1, r.c1.c0.c0, r.c1.c0.c1,
+                    r.c1.c1.c0, r.c1.c1.c1, r.c1.c2.c0, r.c1.c2.c1};
+  for (int i = 0; i < 12; i++) {
+    load6(t, b + i * 48);
+    fq_to_mont(slots[i], t);
+  }
+}
+static void fq12_store(uint8_t* b, const Fq12v& a) {
+  u64 t[6];
+  const u64* slots[12] = {a.c0.c0.c0, a.c0.c0.c1, a.c0.c1.c0, a.c0.c1.c1,
+                          a.c0.c2.c0, a.c0.c2.c1, a.c1.c0.c0, a.c1.c0.c1,
+                          a.c1.c1.c0, a.c1.c1.c1, a.c1.c2.c0, a.c1.c2.c1};
+  for (int i = 0; i < 12; i++) {
+    fq_from_mont(t, slots[i]);
+    store6(b + i * 48, t);
+  }
+}
+
+// BLS parameter |x| (x = -0xd201000000010000)
+static const u64 BLS_X_ABS = 0xd201000000010000ULL;
+
+// Affine Miller loop (mirrors curves/pairing.py::miller_loop).  Lines are
+// emitted pre-scaled by xi = u+1:
+//   l = yp*xi + w*( (lam*x_T - y_T) v  -  lam*xp v^2 )
+// i.e. c0.c0 = (yp, yp);  c1.c1 = lam*x_T - y_T;  c1.c2 = -lam*xp.
+struct MillerPair {
+  u64 xp[6], yp[6];   // G1 affine (Montgomery)
+  Fq2v xt, yt;        // running twist point T
+  Fq2v xq, yq;        // fixed twist point Q
+};
+
+static void line_accumulate(Fq12v& f, const MillerPair& mp, const Fq2v& lam,
+                            const Fq2v& xt, const Fq2v& yt) {
+  // sparse fq12 mul: line has c0.c0 = (yp,yp); c1.c1 = lam*xt - yt;
+  // c1.c2 = -lam*xp; all other coefficients zero.
+  Fq12v l;
+  memset(&l, 0, sizeof(l));
+  memcpy(l.c0.c0.c0, mp.yp, 48);
+  memcpy(l.c0.c0.c1, mp.yp, 48);
+  Fq2v t;
+  fq2_mulv(t, lam, xt);
+  fq2_subv(l.c1.c1, t, yt);
+  fq2_mul_fq(t, lam, mp.xp);
+  fq2_negv(l.c1.c2, t);
+  Fq12v out;
+  fq12_mulv(out, f, l);
+  f = out;
+}
+
+static void miller_step_double(Fq12v& f, MillerPair& mp) {
+  // tangent at T
+  Fq2v num, den, lam, x3, y3, t;
+  fq2_sqv(num, mp.xt);
+  Fq2v num3;
+  fq2_addv(num3, num, num);
+  fq2_addv(num3, num3, num);
+  fq2_addv(den, mp.yt, mp.yt);
+  fq2_invv(den, den);
+  fq2_mulv(lam, num3, den);
+  fq2_sqv(x3, lam);
+  fq2_subv(x3, x3, mp.xt);
+  fq2_subv(x3, x3, mp.xt);
+  fq2_subv(t, mp.xt, x3);
+  fq2_mulv(y3, lam, t);
+  fq2_subv(y3, y3, mp.yt);
+  line_accumulate(f, mp, lam, mp.xt, mp.yt);
+  mp.xt = x3;
+  mp.yt = y3;
+}
+
+static void miller_step_add(Fq12v& f, MillerPair& mp) {
+  // chord through T and Q
+  Fq2v dy, dx, lam, x3, y3, t;
+  fq2_subv(dy, mp.yq, mp.yt);
+  fq2_subv(dx, mp.xq, mp.xt);
+  fq2_invv(dx, dx);
+  fq2_mulv(lam, dy, dx);
+  fq2_sqv(x3, lam);
+  fq2_subv(x3, x3, mp.xt);
+  fq2_subv(x3, x3, mp.xq);
+  fq2_subv(t, mp.xt, x3);
+  fq2_mulv(y3, lam, t);
+  fq2_subv(y3, y3, mp.yt);
+  line_accumulate(f, mp, lam, mp.xt, mp.yt);
+  mp.xt = x3;
+  mp.yt = y3;
+}
+
+// g1xy: npairs*96B (x,y canonical LE); g2xy: npairs*192B (x.c0,x.c1,y.c0,y.c1);
+// inf flags: 1 byte each.  out: 576B Fq12 (canonical).
+extern "C" void dn_miller_loop(const uint8_t* g1xy, const uint8_t* g1inf,
+                               const uint8_t* g2xy, const uint8_t* g2inf,
+                               int64_t npairs, uint8_t* out) {
+  ensure_init();
+  frob_init();
+  std::vector<MillerPair> mps;
+  for (int64_t i = 0; i < npairs; i++) {
+    if (g1inf[i] || g2inf[i]) continue;
+    MillerPair mp;
+    u64 t[6];
+    load6(t, g1xy + i * 96); fq_to_mont(mp.xp, t);
+    load6(t, g1xy + i * 96 + 48); fq_to_mont(mp.yp, t);
+    load6(t, g2xy + i * 192); fq_to_mont(mp.xq.c0, t);
+    load6(t, g2xy + i * 192 + 48); fq_to_mont(mp.xq.c1, t);
+    load6(t, g2xy + i * 192 + 96); fq_to_mont(mp.yq.c0, t);
+    load6(t, g2xy + i * 192 + 144); fq_to_mont(mp.yq.c1, t);
+    mp.xt = mp.xq;
+    mp.yt = mp.yq;
+    mps.push_back(mp);
+  }
+  Fq12v f;
+  memset(&f, 0, sizeof(f));
+  memcpy(f.c0.c0.c0, FQ.one, 48);
+  // MSB-first over |x| skipping the leading 1 (pairing.py::miller_loop)
+  int top = 63;
+  while (!((BLS_X_ABS >> top) & 1)) top--;
+  for (int b = top - 1; b >= 0; b--) {
+    Fq12v fs;
+    fq12_sqv(fs, f);
+    f = fs;
+    for (auto& mp : mps) miller_step_double(f, mp);
+    if ((BLS_X_ABS >> b) & 1)
+      for (auto& mp : mps) miller_step_add(f, mp);
+  }
+  // x negative: conjugate
+  Fq12v fc;
+  fq12_conjv(fc, f);
+  fq12_store(out, fc);
+}
+
+// final exponentiation: easy part exact, hard part by square-and-multiply
+// with the passed exponent (canonical LE bytes) — mirrors
+// curves/pairing.py::final_exponentiation.
+extern "C" void dn_final_exp(const uint8_t* in576, const uint8_t* hard_exp,
+                             int64_t hard_len, uint8_t* out576) {
+  ensure_init();
+  frob_init();
+  Fq12v f, t1, t2;
+  fq12_load(f, in576);
+  // f^(q^6-1) = conj(f) * f^-1
+  fq12_invv(t1, f);
+  fq12_conjv(t2, f);
+  fq12_mulv(f, t2, t1);
+  // ^(q^2+1)
+  fq12_frobv(t1, f);
+  fq12_frobv(t2, t1);
+  fq12_mulv(f, t2, f);
+  // hard part: square-and-multiply MSB-first over hard_exp bytes
+  Fq12v acc;
+  memset(&acc, 0, sizeof(acc));
+  memcpy(acc.c0.c0.c0, FQ.one, 48);
+  bool started = false;
+  for (int64_t i = hard_len - 1; i >= 0; i--) {
+    uint8_t byte = hard_exp[i];
+    for (int b = 7; b >= 0; b--) {
+      if (started) { Fq12v s; fq12_sqv(s, acc); acc = s; }
+      if ((byte >> b) & 1) {
+        if (started) { Fq12v m; fq12_mulv(m, acc, f); acc = m; }
+        else { acc = f; started = true; }
+      }
+    }
+  }
+  fq12_store(out576, acc);
+}
+
+// one-call pairing product check: product of e(Pi, Qi) == 1?
+extern "C" void dn_final_exp_fast(const uint8_t* in576, uint8_t* out576);
+
+extern "C" int dn_pairing_is_one(const uint8_t* g1xy, const uint8_t* g1inf,
+                                 const uint8_t* g2xy, const uint8_t* g2inf,
+                                 int64_t npairs, const uint8_t* hard_exp,
+                                 int64_t hard_len) {
+  // Uses the fast chain, which computes f^(3*lambda); since Gt has prime
+  // order r and gcd(3, r) = 1 this is 1 exactly when f^lambda is 1.
+  (void)hard_exp; (void)hard_len;
+  uint8_t mid[576], fin[576];
+  dn_miller_loop(g1xy, g1inf, g2xy, g2inf, npairs, mid);
+  dn_final_exp_fast(mid, fin);
+  // identity: c0.c0.c0 == 1, all else zero
+  static const uint8_t one48[48] = {1};
+  if (memcmp(fin, one48, 48) != 0) return 0;
+  for (int i = 48; i < 576; i++)
+    if (fin[i]) return 0;
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
+// Fast final exponentiation: Granger-Scott cyclotomic squaring + the BLS12
+// hard-part addition chain in powers of the curve parameter x.  Verified
+// against the plain square-and-multiply dn_final_exp in tests/test_native.py
+// (both must agree on random Miller outputs).
+// ---------------------------------------------------------------------------
+
+// fp4 squaring over Fq2 pairs with nonresidue v: (a + b w')^2, w'^2 = v
+static void fp4_sq(Fq2v& c0, Fq2v& c1, const Fq2v& a, const Fq2v& b) {
+  Fq2v t0, t1, t2;
+  fq2_sqv(t0, a);
+  fq2_sqv(t1, b);
+  fq2_mul_nonres(t2, t1);
+  fq2_addv(c0, t2, t0);
+  fq2_addv(t2, a, b);
+  fq2_sqv(t2, t2);
+  fq2_subv(t2, t2, t0);
+  fq2_subv(c1, t2, t1);
+}
+
+// cyclotomic squaring (Granger-Scott) — valid only for elements of the
+// cyclotomic subgroup (after the easy part)
+static void fq12_cyc_sq(Fq12v& r, const Fq12v& f) {
+  Fq2v z0 = f.c0.c0, z4 = f.c0.c1, z3 = f.c0.c2;
+  Fq2v z2 = f.c1.c0, z1 = f.c1.c1, z5 = f.c1.c2;
+  Fq2v t0, t1, t2, t3, tmp;
+
+  fp4_sq(t0, t1, z0, z1);
+  // z0 = 3 t0 - 2 z0;  z1 = 3 t1 + 2 z1
+  fq2_subv(tmp, t0, z0);
+  fq2_addv(tmp, tmp, tmp);
+  fq2_addv(z0, tmp, t0);
+  fq2_addv(tmp, t1, z1);
+  fq2_addv(tmp, tmp, tmp);
+  fq2_addv(z1, tmp, t1);
+
+  fp4_sq(t0, t1, z2, z3);
+  fp4_sq(t2, t3, z4, z5);
+  // z4 = 3 t0 - 2 z4;  z5 = 3 t1 + 2 z5
+  fq2_subv(tmp, t0, z4);
+  fq2_addv(tmp, tmp, tmp);
+  fq2_addv(z4, tmp, t0);
+  fq2_addv(tmp, t1, z5);
+  fq2_addv(tmp, tmp, tmp);
+  fq2_addv(z5, tmp, t1);
+  // z2 = 3 nonres(t3) + 2 z2;  z3 = 3 t2 - 2 z3
+  fq2_mul_nonres(t0, t3);
+  fq2_addv(tmp, t0, z2);
+  fq2_addv(tmp, tmp, tmp);
+  fq2_addv(z2, tmp, t0);
+  fq2_subv(tmp, t2, z3);
+  fq2_addv(tmp, tmp, tmp);
+  fq2_addv(z3, tmp, t2);
+
+  r.c0.c0 = z0; r.c0.c1 = z4; r.c0.c2 = z3;
+  r.c1.c0 = z2; r.c1.c1 = z1; r.c1.c2 = z5;
+}
+
+// f^|x| via cyclotomic squarings, then conjugate (x is negative)
+static void fq12_cyc_exp(Fq12v& r, const Fq12v& f) {
+  Fq12v acc;
+  bool started = false;
+  for (int b = 63; b >= 0; b--) {
+    if (started) { Fq12v s; fq12_cyc_sq(s, acc); acc = s; }
+    if ((BLS_X_ABS >> b) & 1) {
+      if (started) { Fq12v m; fq12_mulv(m, acc, f); acc = m; }
+      else { acc = f; started = true; }
+    }
+  }
+  fq12_conjv(r, acc);
+}
+
+extern "C" void dn_final_exp_fast(const uint8_t* in576, uint8_t* out576) {
+  ensure_init();
+  frob_init();
+  Fq12v f, i1, i2;
+  fq12_load(f, in576);
+  // easy part: f^((q^6-1)(q^2+1))
+  fq12_invv(i1, f);
+  fq12_conjv(i2, f);
+  fq12_mulv(f, i2, i1);
+  fq12_frobv(i1, f);
+  fq12_frobv(i2, i1);
+  fq12_mulv(f, i2, f);
+
+  // hard part addition chain (t2 = f is in the cyclotomic subgroup now)
+  Fq12v t0, t1, t2, t3, t4, t5, t6, m;
+  t2 = f;
+  fq12_cyc_sq(t1, t2);
+  { Fq12v c; fq12_conjv(c, t1); t1 = c; }
+  fq12_cyc_exp(t3, t2);
+  fq12_cyc_sq(t4, t3);
+  fq12_mulv(t5, t1, t3);
+  fq12_cyc_exp(t1, t5);
+  fq12_cyc_exp(t0, t1);
+  fq12_cyc_exp(t6, t0);
+  fq12_mulv(m, t6, t4); t6 = m;
+  fq12_cyc_exp(t4, t6);
+  { Fq12v c; fq12_conjv(c, t5); t5 = c; }
+  fq12_mulv(m, t4, t5); t4 = m;
+  fq12_mulv(m, t4, t2); t4 = m;
+  fq12_conjv(t5, t2);
+  fq12_mulv(m, t1, t2); t1 = m;
+  fq12_frobv(m, t1); fq12_frobv(t1, m); fq12_frobv(m, t1); t1 = m;
+  fq12_mulv(m, t6, t5); t6 = m;
+  fq12_frobv(m, t6); t6 = m;
+  fq12_mulv(m, t3, t0); t3 = m;
+  fq12_frobv(m, t3); fq12_frobv(t3, m);
+  fq12_mulv(m, t3, t1); t3 = m;
+  fq12_mulv(m, t3, t6); t3 = m;
+  fq12_mulv(m, t3, t4);
+  fq12_store(out576, m);
+}

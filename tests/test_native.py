@@ -49,6 +49,26 @@ def test_msm_matches_python():
     assert native.g1_msm([None], [5]) is None
 
 
+def test_pairing_matches_python():
+    from dusk_plonk_tpu.curves import bls, pairing as pp
+    from dusk_plonk_tpu.fields.constants import Q_MOD
+    g2 = bls.G2_GENERATOR
+    acc = bls._jac_from_affine(bls.G1_GENERATOR)
+    for _ in range(14):
+        acc = bls._jac_double(acc)
+    a = bls._jac_to_affine(acc)
+    neg_a = (a[0], (Q_MOD - a[1]) % Q_MOD)
+    pairs = [(a, g2), (neg_a, g2)]
+    # full Miller-loop value equality, then the is_one fast path both ways
+    assert native.miller_loop(pairs) == pp.miller_loop(pairs)
+    assert native.final_exp(pp.miller_loop(pairs)) == \
+        pp.final_exponentiation(pp.miller_loop(pairs))
+    assert native.pairing_is_one(pairs)
+    assert not native.pairing_is_one([(a, g2), (a, g2)])
+    # infinity handling mirrors the Python oracle (skipped pair)
+    assert native.pairing_is_one([(a, g2), (neg_a, g2), (None, g2)])
+
+
 def test_ntt_matches_python():
     from dusk_plonk_tpu.poly.domain import Domain
     from dusk_plonk_tpu.fields.constants import R_MOD
