@@ -22,6 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # (shard_map programs take minutes each); cached across runs
 import jax
 
+# The environment's TPU sitecustomize hook overrides jax_platforms to
+# "axon,cpu" in every process; force it back to the env var so tests never
+# touch (or hang on) the TPU tunnel.
+from dusk_plonk_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
