@@ -8,15 +8,30 @@ the TPU-native scaling story (SURVEY.md §2.3/§5.7) is:
   wraparound (src/prover/quotient_poly.rs:60-66) becomes a cross-shard
   collective permute that XLA derives from a `jnp.roll` on a sharded axis;
 * the grand-product prefix scan (src/permutation.rs:281-295, serial in the
-  reference) becomes a log-depth `associative_scan` whose cross-shard
-  segments ride ICI;
-* MSM point partitioning (the "data parallel" analogue): each device runs
-  sort-based Pippenger bucket accumulation on its point shard (ops/msm.py),
-  and the tiny per-window totals are all-gathered and EC-tree-reduced.
+  reference) runs two-phase: a rolled per-shard Hillis-Steele prefix, then
+  an all-gather of the D shard totals and one tiny exclusive scan — the
+  cross-shard traffic is D field elements per device, riding ICI;
+* MSM point partitioning (the "data parallel" analogue): each device
+  accumulates its point shard, the per-device partials (a few KB) are
+  all-gathered and reduced on every device.
 
-`sharded_prover_step` assembles all three into one jitted step over a
-1-D mesh — the driver's multi-chip dry-run target and the template the
-full device engine scales with.
+Two MSM tiers share that collective structure:
+
+* `msm_point_partitioned` — full sort-based Pippenger per shard
+  (ops/msm.py).  The production TPU path: EC adds there are fused Pallas
+  calls, so the XLA graph stays small on TPU.
+* `msm_bit_serial` — MSB-first double-and-add with every EC add inside a
+  loop body (4 add instantiations total).  On the virtual CPU mesh the
+  inlined Pippenger bucket machinery is ~250k StableHLO lines and XLA:CPU
+  needs >10 min to compile it; this tier compiles in seconds and is what
+  the driver's multi-chip dry-run and the CPU test tier run.  It is also
+  the right algorithm for genuinely small N (Pippenger's window overhead
+  dominates below ~2^8 points per shard).
+
+`sharded_prover_step` assembles the pieces as THREE separately jitted
+steps (NTT / quotient+scan / MSM) — one giant jit multiplies XLA:CPU
+compile time superlinearly, three small ones keep the cold-start of the
+driver's dry-run bounded.
 """
 
 from __future__ import annotations
@@ -57,7 +72,7 @@ def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
         gx = jax.lax.all_gather(wx, axis)                     # (D, 32, L, 1)
         gy = jax.lax.all_gather(wy, axis)
         gz = jax.lax.all_gather(wz, axis)
-        sx, sy, sz = G1.tree_reduce((gx, gy, gz))             # (32, L, 1)
+        sx, sy, sz = _scan_reduce(G1, (gx, gy, gz))           # (32, L, 1)
         # combine windows MSB-first: acc = 2^8 acc + T_w
         return plan._combine_windows(sx[::-1], sy[::-1], sz[::-1])
 
@@ -72,15 +87,104 @@ def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
     return fn(px, py, pz, scalar_limbs)
 
 
+def _scan_reduce(G1, pts):
+    """Sum points along axis 0 with ONE G1.add instantiation (lax.scan),
+    vs log(n) inlined adds for tree_reduce — compile-size over depth (the
+    reduced axis is small: D shards or n_local lanes)."""
+    ident = tuple(jnp.broadcast_to(i, c.shape[1:])
+                  for i, c in zip(G1.identity, pts))
+
+    def body(acc, x):
+        return G1.add(acc, x), None
+
+    acc, _ = jax.lax.scan(body, ident, pts)
+    return acc
+
+
+def msm_bit_serial(mesh: Mesh, axis: str, points, scalar_limbs,
+                   bits: int = 256):
+    """Point-partitioned MSM, compile-lean tier (see module docstring).
+
+    MSB-first over `bits` bits: acc = 2*acc (+P if bit set), batched over
+    the local point lanes, then a scan-reduce over lanes and, after the
+    all-gather, over shards.  Exactly 4 G1.add instantiations."""
+    G1 = device_g1()
+    F = G1.F
+
+    def body(px, py, pz, limbs):
+        n_local = px.shape[-1]
+        acc = G1.broadcast_identity((), n_local)           # (L, n_local)
+
+        def step(i, acc):
+            b = bits - 1 - i
+            limb = jax.lax.dynamic_index_in_dim(
+                limbs, b // 16, 0, keepdims=False)         # (n_local,)
+            bit = (limb >> (b % 16).astype(jnp.uint32)) & 1
+            acc = G1.add(acc, acc)
+            with_p = G1.add(acc, (px, py, pz))
+            return G1.select(bit == 0, acc, with_p)
+
+        acc = jax.lax.fori_loop(0, bits, step, acc)
+        # all-gather the (L, n_local) lane partials, then ONE scan-reduce
+        # over the flattened (D * n_local) axis — one G1.add instantiation
+        # covers both the lane and the shard reduction
+        gathered = tuple(
+            jax.lax.all_gather(c, axis) for c in acc)      # (D, L, nl)
+        rows = tuple(
+            jnp.moveaxis(c, -1, 1).reshape((-1,) + c.shape[-2:-1] + (1,))
+            for c in gathered)                             # (D*nl, L, 1)
+        return _scan_reduce(G1, rows)                      # (L, 1)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis),) * 4,
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    px, py, pz = points
+    return fn(px, py, pz, scalar_limbs)
+
+
+def grand_product_sharded(mesh: Mesh, axis: str, ratio):
+    """Two-phase distributed prefix product of ratio (..., L, n) sharded on
+    the element axis: per-shard rolled Hillis-Steele (F.prefix_mul), then an
+    all-gather of the D shard totals and an exclusive scan of those — the
+    distributed form of the reference's serial grand product
+    (src/permutation.rs:281-295)."""
+    F = fr_field()
+
+    def body(r):
+        local = F.prefix_mul(r)                            # (..., L, nl)
+        tot = local[..., -1:]                              # (..., L, 1)
+        alltot = jax.lax.all_gather(tot, axis)             # (D, ..., L, 1)
+        one = jnp.broadcast_to(F.one_mont, tot.shape)
+
+        def sbody(carry, x):
+            return F.mul(carry, x), carry                  # exclusive
+
+        _, offs = jax.lax.scan(sbody, one, alltot)         # (D, ..., L, 1)
+        off = jax.lax.dynamic_index_in_dim(
+            offs, jax.lax.axis_index(axis), 0, keepdims=False)
+        return F.mul(local, off)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis),) if ratio.ndim == 2 else
+        (P(*([None] * (ratio.ndim - 1) + [axis])),),
+        out_specs=P(*([None] * (ratio.ndim - 1) + [axis])),
+        check_vma=False)(ratio)
+
+
 def sharded_prover_step(mesh: Mesh, k: int, args):
-    """One jitted, mesh-sharded proving macro-step on tiny shapes:
-    iNTT -> coset DFT -> quotient-style elementwise with wraparound ->
-    grand-product scan -> point-partitioned MSM."""
+    """One mesh-sharded proving macro-step on tiny shapes:
+    iNTT -> coset DFT | quotient-style elementwise with wraparound ->
+    grand-product | point-partitioned MSM — three separately jitted
+    stages (compile-size; see module docstring)."""
     wires, points, scalars = args
     plan = ntt_plan(k)
     F = fr_field()
 
     dom = NamedSharding(mesh, P(None, None, "shard"))
+    dom1 = NamedSharding(mesh, P(None, "shard"))
     pts = NamedSharding(mesh, P(None, "shard"))
 
     wires = jax.device_put(wires, dom)
@@ -93,24 +197,30 @@ def sharded_prover_step(mesh: Mesh, k: int, args):
               ninv=plan.scale_n_inv, coset=plan.scale_coset)
 
     @jax.jit
-    def step(wires, points, scalars, nt):
+    def ntt_step(wires, nt):
         # round-1 style: evaluation -> coefficient form (domain-sharded)
         polys = plan._transform(wires, nt["inv"], nt["one"], nt["ninv"])
         polys = jax.lax.with_sharding_constraint(polys, dom)
         # round-3 style: back onto the coset
         evals = plan._transform(polys, nt["fwd"], nt["coset"], nt["one"])
-        evals = jax.lax.with_sharding_constraint(evals, dom)
+        return jax.lax.with_sharding_constraint(evals, dom)
+
+    @jax.jit
+    def quotient_step(evals, nt):
         # next-gate wraparound: cross-shard permute
         nxt = jnp.roll(evals, -1, axis=-1)
         t = F.mul(F.add(evals, nxt), evals)
-        # grand-product scan across the sharded domain
-        z = jax.lax.associative_scan(F.mul, F.add(t[0], nt["one"]),
-                                     axis=1)
-        # round-1 style commit: partitioned MSM
-        commit = msm_point_partitioned(mesh, "shard", points, scalars)
-        return z, commit
+        ratio = F.add(t[0], nt["one"])
+        z = grand_product_sharded(mesh, "shard", ratio)
+        return jax.lax.with_sharding_constraint(z, dom1)
+
+    @jax.jit
+    def msm_step(points, scalars):
+        return msm_bit_serial(mesh, "shard", points, scalars, bits=64)
 
     with mesh:
-        z, commit = step(wires, points, scalars, nt)
+        evals = ntt_step(wires, nt)
+        z = quotient_step(evals, nt)
+        commit = msm_step(points, scalars)
         jax.block_until_ready((z, commit))
     return z, commit
