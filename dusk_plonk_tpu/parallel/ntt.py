@@ -114,12 +114,14 @@ def dist_ntt_plan(d: int, k: int) -> DistNttPlan:
 
 
 @lru_cache(maxsize=None)
-def _dist_ntt_fn(mesh: Mesh, axis: str, k: int):
-    """One JITTED executable per (mesh, axis, k): shard_map must run under
-    jit — eager shard_map executes every primitive of the body as its own
-    multi-device pjit program (hundreds of compiles; measured minutes on the
-    simulated CPU mesh).  Forward/inverse/coset variants reuse the SAME
-    executable: they differ only in table values, which ride as arguments."""
+def _dist_ntt_fn(mesh: Mesh, axis: str, k: int, batched: bool):
+    """One JITTED executable per (mesh, axis, k, rank): shard_map must run
+    under jit — eager shard_map executes every primitive of the body as its
+    own multi-device pjit program (hundreds of compiles; measured minutes on
+    the simulated CPU mesh).  Forward/inverse/coset variants reuse the SAME
+    executable: they differ only in table values, which ride as arguments.
+    `batched` adds one leading axis (the prover transforms 2-6 polynomials
+    per call, amortizing both collectives across the batch)."""
     d = mesh.shape[axis]
     plan = dist_ntt_plan(d, k)
     F = plan.F
@@ -127,27 +129,30 @@ def _dist_ntt_fn(mesh: Mesh, axis: str, k: int):
 
     def body(x_local, mid, outer, pre, post, inner_tw, inner_pre,
              inner_post):
-        # x_local (L, n2): device j holds x[j*n2 : (j+1)*n2]
+        # x_local (..., L, n2): device j holds x[j*n2 : (j+1)*n2]
+        lead = x_local.shape[:-2]
         x_local = F.mul(x_local, pre[0])
         # ALL-TO-ALL: global element g = j*n2 + u*D + v  ->  device v,
         # position j*(n2/D) + u   (x[j1 + D*j2] ordered by j2)
-        t = x_local.reshape(F.L, n2 // d, d)
-        t = jax.lax.all_to_all(t, axis, split_axis=2, concat_axis=1,
-                               tiled=False)
-        # t: (L, n2/D, D) with new axis-1 blocks ordered by source device
-        row = t.reshape(F.L, n2)
+        t = x_local.reshape(lead + (F.L, n2 // d, d))
+        nd = t.ndim
+        t = jax.lax.all_to_all(t, axis, split_axis=nd - 1,
+                               concat_axis=nd - 2, tiled=False)
+        # t: (..., L, n2/D, D) with new blocks ordered by source device
+        row = t.reshape(lead + (F.L, n2))
         # local inner NTT (W1 = w^D since the row is the stride-D slice)
         row = plan.inner._transform(row, inner_tw, inner_pre, inner_post)
         # mid twiddle w^(j1 k2): mid is sharded by device, local row 0
         row = F.mul(row, mid[0])
         # outer D-point DFT across devices: gather all rows, weight, sum
-        rows = jax.lax.all_gather(row, axis)              # (D, L, n2)
+        rows = jax.lax.all_gather(row, axis)          # (D, ..., L, n2)
         k1 = jax.lax.axis_index(axis)
-        weights = outer[k1]                               # (D, L, 1)
-        out = F.sum_reduce(F.mul(rows, weights), axis=0)  # (L, n2)
+        weights = outer[k1]                           # (D, L, 1)
+        weights = weights.reshape((d,) + (1,) * len(lead) + (F.L, 1))
+        out = F.sum_reduce(F.mul(rows, weights), axis=0)  # (..., L, n2)
         return F.mul(out, post[0])
 
-    spec_x = P(None, axis)
+    spec_x = P(None, axis) if not batched else P(None, None, axis)
     spec_tab = P(axis, None, None)
     fn = shard_map(
         body, mesh=mesh,
@@ -159,10 +164,25 @@ def _dist_ntt_fn(mesh: Mesh, axis: str, k: int):
 
 
 def distributed_ntt(mesh: Mesh, axis: str, x, k: int, kind: str = "dft"):
-    """x: (L, n) sharded contiguously on the element axis over mesh[axis];
-    returns the transform, identically sharded, natural order."""
-    plan = dist_ntt_plan(mesh.shape[axis], k)
+    """x: (L, n) or (B, L, n) sharded contiguously on the element axis over
+    mesh[axis]; returns the transform, identically sharded, natural order.
+
+    Domains below D^2 (the four-step needs n2 = n/D divisible by D for the
+    all-to-all restripe) fall back to the single-plan kernel — at that size
+    the whole table is a few KB and GSPMD replication is free."""
+    d = mesh.shape[axis]
+    if (1 << k) % (d * d):
+        plan = ntt_plan(k)
+        args = {
+            "dft": (plan.tw_fwd, plan.scale_one, plan.scale_one),
+            "idft": (plan.tw_inv, plan.scale_one, plan.scale_n_inv),
+            "coset_dft": (plan.tw_fwd, plan.scale_coset, plan.scale_one),
+            "coset_idft": (plan.tw_inv, plan.scale_one,
+                           plan.scale_coset_inv),
+        }[kind]
+        return plan._transform(x, *args)
+    plan = dist_ntt_plan(d, k)
     tb = plan.tables(kind)
-    fn = _dist_ntt_fn(mesh, axis, k)
+    fn = _dist_ntt_fn(mesh, axis, k, x.ndim == 3)
     return fn(x, tb["mid"], tb["outer"], tb["pre"], tb["post"],
               tb["inner_tw"], tb["inner_pre"], tb["inner_post"])

@@ -46,3 +46,43 @@ def test_distributed_ntt_all_kinds():
             distributed_ntt(mesh, "shard", x, k, "coset_dft"),
             k, "coset_idft")
     assert F.unpack(rt) == vals
+
+
+def test_distributed_ntt_batched():
+    """Batched (B, L, n) variant — the prover's round-1/round-3 shapes."""
+    k = 6
+    n = 1 << k
+    B = 4
+    F = fr_field()
+    dom = Domain(k)
+    rng = np.random.default_rng(5)
+    vals = [int.from_bytes(rng.bytes(32), "little") % R_MOD
+            for _ in range(B * n)]
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("shard",))
+    x = jax.device_put(F.pack(vals, shape=(B, n)),
+                       NamedSharding(mesh, P(None, None, "shard")))
+    with mesh:
+        out = distributed_ntt(mesh, "shard", x, k, "coset_dft")
+    got = F.unpack(out)
+    for b in range(B):
+        assert got[b * n:(b + 1) * n] == \
+            dom.coset_dft(vals[b * n:(b + 1) * n]), f"row {b}"
+
+
+def test_distributed_ntt_small_domain_fallback():
+    """Domains below D^2 route to the single-plan kernel."""
+    k = 5  # n = 32 < 64 = D^2
+    n = 1 << k
+    F = fr_field()
+    dom = Domain(k)
+    rng = np.random.default_rng(6)
+    vals = [int.from_bytes(rng.bytes(32), "little") % R_MOD
+            for _ in range(n)]
+    mesh = Mesh(np.array(jax.devices()), axis_names=("shard",))
+    x = jax.device_put(F.pack(vals),
+                       NamedSharding(mesh, P(None, "shard")))
+    with mesh:
+        out = jax.jit(
+            lambda v: distributed_ntt(mesh, "shard", v, k, "idft"))(x)
+    assert F.unpack(out) == dom.idft(vals)
