@@ -147,48 +147,72 @@ class MsmPlan:
         wg_ix = jnp.arange(wg, dtype=jnp.int32)[:, None]
 
         def ps_at(idx):
-            """Prefix-scan value at index (Wg, nb) -> (L, Wg*nb) flat;
-            identity at -1."""
-            neg = (idx < 0).reshape(wg * nb)
+            """Prefix-scan value at index (Wg, M) -> (L, Wg*M) flat;
+            identity at -1.  ONE G1.add instantiation regardless of how
+            many index sets are folded into M (compile-size: each inlined
+            EC add is ~20k HLO ops — a second call site doubles it)."""
+            m = idx.shape[-1]
+            neg = (idx < 0).reshape(wg * m)
             safe = jnp.maximum(idx, 0)
-            ci = safe // cl                              # (Wg, nb)
-            pi = (safe % cl).reshape(wg * nb)
-            flat_lane = (wg_ix * nc + ci).reshape(wg * nb)
-            # ps: (cl, L, Wg*nc)[pi, :, flat_lane] -> (Wg*nb, L) -> (L, .)
+            ci = safe // cl                              # (Wg, M)
+            pi = (safe % cl).reshape(wg * m)
+            flat_lane = (wg_ix * nc + ci).reshape(wg * m)
+            # ps: (cl, L, Wg*nc)[pi, :, flat_lane] -> (Wg*M, L) -> (L, .)
             vals = tuple(c[pi, :, flat_lane].T for c in ps)
             offs = tuple(c[:, flat_lane] for c in offsets)
             summed = G1.add(vals, offs)
-            ident_b = G1.broadcast_identity((), wg * nb)
+            ident_b = G1.broadcast_identity((), wg * m)
             return G1.select(neg, ident_b, summed)
 
-        b_hi = ps_at(tail)
-        b_lo = ps_at(head - 1)
+        # hi and lo prefix reads share the single ps_at instantiation
+        both = ps_at(jnp.concatenate([tail, head - 1], axis=-1))
+        b_hi = tuple(c.reshape(L, wg, 2 * nb)[..., :nb].reshape(L, wg * nb)
+                     for c in both)
+        b_lo = tuple(c.reshape(L, wg, 2 * nb)[..., nb:].reshape(L, wg * nb)
+                     for c in both)
         bucket_sums = G1.add(b_hi, G1.neg(b_lo))         # (L, Wg*nb)
         ident_b = G1.broadcast_identity((), wg * nb)
         bucket_sums = G1.select(empty, ident_b, bucket_sums)
         # drop bucket 0 (digit 0 contributes nothing); iterate buckets from
         # the top: running += B_d; total += running  =>  total = sum d*B_d.
+        # The two accumulators ride as EXTRA LANES of one G1.add:
+        # add((running | total), (x | running)) per step.  One add per step
+        # skews the recurrence to total' = total + running_OLD (total_new
+        # cannot see running_new inside the same add), so after n steps
+        # total misses the final running — the appended identity step
+        # (x = 0: running stays, total += running) restores it without a
+        # second EC-add instantiation.
         desc = tuple(
-            c.reshape(L, wg, nb)[..., 1:][..., ::-1].transpose(2, 0, 1)
-            for c in bucket_sums)                        # (nb-1, L, Wg)
+            jnp.concatenate(
+                [c.reshape(L, wg, nb)[..., 1:][..., ::-1]
+                  .transpose(2, 0, 1),
+                 i[None]], axis=0)
+            for c, i in zip(bucket_sums, ident_wg))      # (nb, L, Wg)
 
         def red_body(carry, x):
             running, total = carry
-            running = G1.add(running, x)
-            total = G1.add(total, running)
-            return (running, total), None
+            lhs = tuple(jnp.concatenate([r, t], axis=-1)
+                        for r, t in zip(running, total))
+            rhs = tuple(jnp.concatenate([xc, r], axis=-1)
+                        for xc, r in zip(x, running))
+            out = G1.add(lhs, rhs)                       # (L, 2*Wg)
+            return (tuple(c[..., :wg] for c in out),
+                    tuple(c[..., wg:] for c in out)), None
         (_, total), _ = jax.lax.scan(
             red_body, (ident_wg, ident_wg), desc)        # (L, Wg) x3
         return tuple(jnp.moveaxis(c, -1, 0)[..., None] for c in total)
 
     def _combine_windows(self, wx, wy, wz):
         """(W, L, 1) window totals -> final (L, 1) point, MSB window first:
-        acc = 2^c * acc + T_w."""
+        acc = 2^c * acc + T_w.  The doublings run in a nested fori_loop so
+        the body inlines TWO EC adds, not nine (each inlined add is ~20k
+        HLO ops; the unrolled form alone cost ~3 min of 1-core XLA:CPU
+        compile and a comparable slice of the remote TPU build)."""
         G1 = self.G1
 
         def body(w, acc):
-            for _ in range(WINDOW_BITS):
-                acc = G1.add(acc, acc)
+            acc = jax.lax.fori_loop(
+                0, WINDOW_BITS, lambda j, a: G1.add(a, a), acc)
             t = tuple(c[w] for c in (wx, wy, wz))
             return G1.add(acc, t)
         acc = jax.lax.fori_loop(

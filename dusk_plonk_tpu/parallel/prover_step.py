@@ -105,26 +105,32 @@ def msm_bit_serial(mesh: Mesh, axis: str, points, scalar_limbs,
                    bits: int = 256):
     """Point-partitioned MSM, compile-lean tier (see module docstring).
 
-    MSB-first over `bits` bits: acc = 2*acc (+P if bit set), batched over
-    the local point lanes, then a scan-reduce over lanes and, after the
-    all-gather, over shards.  Exactly 4 G1.add instantiations."""
+    MSB-first double-and-add with ONE G1.add instantiation: iteration 2i
+    doubles (operand = acc itself), iteration 2i+1 conditionally adds P
+    (operand = P masked to identity when the bit is clear).  Addition is
+    complete (RCB15), so identity operands are safe.  Halving the loop-body
+    HLO matters here: the driver's dry-run compiles this on a 1-core
+    XLA:CPU host where LLVM codegen of the 24-limb field ops dominates."""
     G1 = device_g1()
     F = G1.F
 
     def body(px, py, pz, limbs):
         n_local = px.shape[-1]
         acc = G1.broadcast_identity((), n_local)           # (L, n_local)
+        ident = G1.broadcast_identity((), n_local)
+        P3 = (px, py, pz)
 
         def step(i, acc):
-            b = bits - 1 - i
+            b = bits - 1 - i // 2
+            is_dbl = jnp.broadcast_to(i % 2 == 0, (n_local,))
             limb = jax.lax.dynamic_index_in_dim(
                 limbs, b // 16, 0, keepdims=False)         # (n_local,)
             bit = (limb >> (b % 16).astype(jnp.uint32)) & 1
-            acc = G1.add(acc, acc)
-            with_p = G1.add(acc, (px, py, pz))
-            return G1.select(bit == 0, acc, with_p)
+            other = G1.select(is_dbl, acc,
+                              G1.select(bit == 1, P3, ident))
+            return G1.add(acc, other)
 
-        acc = jax.lax.fori_loop(0, bits, step, acc)
+        acc = jax.lax.fori_loop(0, 2 * bits, step, acc)
         # all-gather the (L, n_local) lane partials, then ONE scan-reduce
         # over the flattened (D * n_local) axis — one G1.add instantiation
         # covers both the lane and the shard reduction
@@ -174,6 +180,26 @@ def grand_product_sharded(mesh: Mesh, axis: str, ratio):
         check_vma=False)(ratio)
 
 
+def batch_inv_sharded(mesh: Mesh, axis: str, F, a):
+    """Distributed Montgomery's trick over the sharded element axis:
+    prefix/suffix products via the two-phase sharded scan, ONE Fermat
+    inverse of the (replicated) total, 3N multiplications.  The sharded
+    counterpart of LimbField.batch_inv (reference inverts per element,
+    src/prover/quotient_poly.rs:111)."""
+    import jax.numpy as jnp
+
+    is_zero = jnp.all(a == 0, axis=-2, keepdims=True)
+    safe = jnp.where(is_zero, F.one_mont, a)
+    prefix = grand_product_sharded(mesh, axis, safe)
+    suffix = grand_product_sharded(mesh, axis, safe[..., ::-1])[..., ::-1]
+    total_inv = F.inv(prefix[..., -1:])
+    one = jnp.broadcast_to(F.one_mont, safe[..., :1].shape)
+    prefix_excl = jnp.concatenate([one, prefix[..., :-1]], axis=-1)
+    suffix_excl = jnp.concatenate([suffix[..., 1:], one], axis=-1)
+    out = F.mul(F.mul(prefix_excl, suffix_excl), total_inv)
+    return jnp.where(is_zero, jnp.zeros_like(a), out)
+
+
 def sharded_prover_step(mesh: Mesh, k: int, args):
     """One mesh-sharded proving macro-step on tiny shapes:
     iNTT -> coset DFT | quotient-style elementwise with wraparound ->
@@ -216,7 +242,7 @@ def sharded_prover_step(mesh: Mesh, k: int, args):
 
     @jax.jit
     def msm_step(points, scalars):
-        return msm_bit_serial(mesh, "shard", points, scalars, bits=64)
+        return msm_bit_serial(mesh, "shard", points, scalars, bits=32)
 
     with mesh:
         evals = ntt_step(wires, nt)

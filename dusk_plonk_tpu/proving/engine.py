@@ -99,14 +99,19 @@ class DeviceEngine:
         self.plan_8n = ntt_plan(self.k8)
 
         # --- SRS on device -------------------------------------------------
+        # nsd >= ns is the DEVICE width of every SRS-length buffer: the
+        # mesh engine rounds it up to a shard multiple (identity-point /
+        # zero-coefficient padding changes no commitment or evaluation)
         if srs is None:
             powers = prover.keypair.powers
             self.ns = len(powers)
+            self.nsd = self._device_width(self.ns)
             self.srs = self.G1.pack_points(powers)
             self.msm = MsmPlan(self.ns)
         else:
             self.srs = srs
             self.ns = srs[0].shape[-1]
+            self.nsd = self._device_width(self.ns)
             self.msm = msm if msm is not None else MsmPlan(self.ns)
 
         # --- key polynomials on device (n-degree coefficient form) ---------
@@ -125,7 +130,60 @@ class DeviceEngine:
 
         # --- derived device tables (all computed on device) ----------------
         self._build_tables()
+        self._stage_tables()
         self._build_kernels()
+
+    # -- sharding hooks (overridden by proving/sharded_engine.py) -----------
+    #
+    # The single-chip engine is the identity case of the mesh-sharded one:
+    # every hook below is the seam where ShardedEngine swaps in the
+    # distributed implementation (four-step NTT, two-phase scans,
+    # point-partitioned MSM) without touching the round orchestration —
+    # both engines therefore produce byte-identical proofs by construction.
+
+    def _stage_tables(self):
+        """Place self.tb (and SRS) on devices; mesh mode shards them."""
+
+    def _t_n(self, tb, x, kind):
+        """n-domain transform of (..., L, n); kind in {dft, idft}."""
+        pn = self.plan_n
+        args = {"dft": (tb["n_fwd"], tb["n_one"], tb["n_one"]),
+                "idft": (tb["n_inv"], tb["n_one"], tb["n_ninv"])}[kind]
+        return pn._transform(x, *args)
+
+    def _t_8n(self, pair, kind):
+        """8n coset transform of one (2, L, n8) pair; kind in
+        {coset_dft, coset_idft}."""
+        p8, tb = self.plan_8n, self.tb
+        args = {"coset_dft": (tb["e_fwd"], tb["e_coset"], tb["e_one"]),
+                "coset_idft": (tb["e_inv"], tb["e_one"],
+                               tb["e_cosetinv"])}[kind]
+        return p8._kernel(pair, *args)
+
+    def _prefix_mul(self, x):
+        return self.F.prefix_mul(x)
+
+    def _batch_inv(self, x):
+        return self.F.batch_inv(x)
+
+    def _constrain(self, x):
+        """Pin the element-axis sharding of an intermediate (no-op here)."""
+        return x
+
+    def _stage_dom(self, x):
+        """Place a per-proof (..., L, n) input on devices (mesh: sharded)."""
+        return x
+
+    def _device_width(self, ns: int) -> int:
+        """Width of SRS-length device buffers (mesh: shard multiple)."""
+        return ns
+
+    def _quotient_chunk_len(self):
+        """8n-grid dispatch width (mesh mode never chunks: the working set
+        is already divided D ways by the domain sharding)."""
+        n8 = self.n8
+        return n8 if n8 <= (1 << 15) else \
+            n8 // get_config().quotient_chunks_large
 
     # -- one-time table construction ----------------------------------------
 
@@ -207,14 +265,21 @@ class DeviceEngine:
     # -- jitted round kernels -------------------------------------------------
 
     def _build_kernels(self):
-        F, n, n8, ns = self.F, self.n, self.n8, self.ns
+        F, n, n8, ns = self.F, self.n, self.n8, self.nsd
         ops = self.ops
 
         def blind_into(poly, blinders, width):
             """Place an n-coeff poly (..., L, n) into a width buffer and add
-            (sum b_i X^i)(X^n - 1); blinders (..., L, h+1)."""
-            buf = jnp.zeros(poly.shape[:-1] + (width,), jnp.uint32)
-            buf = buf.at[..., :n].set(poly)
+            (sum b_i X^i)(X^n - 1); blinders (..., L, h+1).
+
+            Widening is a concatenate, NOT buf.at[:n].set(poly): XLA:CPU
+            SPMD miscompiles a dynamic-update-slice whose operand is a
+            shard_map (four-step NTT) output resharded onto the wider
+            buffer's uneven grid — every shard's last lane read garbage
+            (observed on the 8-device CPU mesh; concatenate lowers to a
+            clean reshard instead)."""
+            pad = jnp.zeros(poly.shape[:-1] + (width - n,), jnp.uint32)
+            buf = self._constrain(jnp.concatenate([poly, pad], axis=-1))
             h1 = blinders.shape[-1]
             for i in range(h1):
                 b = blinders[..., i:i + 1]                # (..., L, 1)
@@ -225,8 +290,7 @@ class DeviceEngine:
             return buf
 
         def round1(tb, wire_vals, blinders):
-            polys = self.plan_n._transform(
-                wire_vals, tb["n_inv"], tb["n_one"], tb["n_ninv"])
+            polys = self._t_n(tb, wire_vals, "idft")
             bufs = blind_into(polys, blinders, ns)
             return bufs, F.from_mont(bufs)
 
@@ -237,22 +301,26 @@ class DeviceEngine:
                               F.mul(beta, tb["sigma_evals_n"])), gamma)
             nprod = F.mul(F.mul(num[0], num[1]), F.mul(num[2], num[3]))
             dprod = F.mul(F.mul(den[0], den[1]), F.mul(den[2], den[3]))
-            ratio = F.mul(nprod, F.batch_inv(dprod))
-            incl = F.prefix_mul(ratio)
-            z = jnp.concatenate(
-                [F.one_mont, incl[..., :n - 1]], axis=-1)
-            z_poly = self.plan_n._transform(
-                z, tb["n_inv"], tb["n_one"], tb["n_ninv"])
+            ratio = F.mul(nprod, self._batch_inv(dprod))
+            incl = self._prefix_mul(ratio)
+            z = self._constrain(jnp.concatenate(
+                [F.one_mont, incl[..., :n - 1]], axis=-1))
+            z_poly = self._t_n(tb, z, "idft")
             buf = blind_into(z_poly, blinders, ns)
             return buf, F.from_mont(buf)
 
         def round3(tb, wire_polys, z_poly, pi_dense, ch):
-            pi_poly = self.plan_n._transform(
-                pi_dense, tb["n_inv"], tb["n_one"], tb["n_ninv"])
-            batch = jnp.zeros((6, F.L, n8), jnp.uint32)
-            batch = batch.at[0, :, :ns].set(z_poly)
-            batch = batch.at[1:5, :, :ns].set(wire_polys)
-            batch = batch.at[5, :, :n].set(pi_poly)
+            pi_poly = self._t_n(tb, pi_dense, "idft")
+
+            def pad8(x):
+                # concatenate, not .at[:w].set: see blind_into
+                z = jnp.zeros(x.shape[:-1] + (n8 - x.shape[-1],),
+                              jnp.uint32)
+                return jnp.concatenate([x, z], axis=-1)
+
+            batch = self._constrain(jnp.concatenate(
+                [pad8(z_poly)[None], pad8(wire_polys),
+                 pad8(pi_poly)[None]], axis=0))
             # pairs keep the 8n-NTT working set under HBM (XLA does not
             # reuse stage buffers across a wide batch: 6-wide at k=19
             # plans 21 GB and aborts; 2-wide fits)
@@ -262,12 +330,17 @@ class DeviceEngine:
         # with no buffer reuse (axon allocator) — chunk the 8n domain so
         # each dispatch's working set fits HBM; ONE executable serves all
         # chunks (the start offset is a traced scalar)
-        E = n8 if n8 <= (1 << 15) else n8 // get_config().quotient_chunks_large
+        E = self._quotient_chunk_len()
         self.quotient_chunk = E
 
         def round3b(tb, ev0, ev1, ev2, rolled, ch, start):
-            def sl(x):
-                return jax.lax.dynamic_slice_in_dim(x, start, E, axis=-1)
+            if E == n8:                    # unchunked (mesh mode: the
+                def sl(x):                 # domain is already sharded)
+                    return x
+            else:
+                def sl(x):
+                    return jax.lax.dynamic_slice_in_dim(
+                        x, start, E, axis=-1)
             z8, a8 = sl(ev0[0]), sl(ev0[1])
             b8, c8 = sl(ev1[0]), sl(ev1[1])
             d8, pi8 = sl(ev2[0]), sl(ev2[1])
@@ -310,7 +383,7 @@ class DeviceEngine:
         def round3c(tb, t_coeffs):
             # SRS-degree check (reference errors at t_4 commit for
             # unsatisfiable witnesses — the negative-test path)
-            tail_bad = jnp.any(t_coeffs[..., 3 * n + ns:] != 0)
+            tail_bad = jnp.any(t_coeffs[..., 3 * n + self.ns:] != 0)
 
             chunks = jnp.zeros((4, F.L, ns), jnp.uint32)
             chunks = chunks.at[0, :, :n].set(t_coeffs[..., 0:n])
@@ -451,15 +524,15 @@ class DeviceEngine:
         pi_indexes = cs.public_input_indexes()
         for pi in public_inputs:
             transcript.append_scalar(b"pi", pi)
-        pi_dense = F.pack_sparse(
-            [(i, v) for i, v in zip(pi_indexes, public_inputs)], n)
+        pi_dense = self._stage_dom(F.pack_sparse(
+            [(i, v) for i, v in zip(pi_indexes, public_inputs)], n))
 
         # ---- round 1 ------------------------------------------------------
         flat = []
         for col in ("w_a", "w_b", "w_o", "w_d"):
             vals = [cs.witness[getattr(c, col)] for c in cs.constraints]
             flat.extend(vals + [0] * (n - len(vals)))
-        wire_vals = F.pack(flat, shape=(4, n))
+        wire_vals = self._stage_dom(F.pack(flat, shape=(4, n)))
         _mark("wire_pack")
 
         blinders1 = F.pack(
@@ -500,9 +573,7 @@ class DeviceEngine:
         ch = {k: F.pack_scalar(v) for k, v in ch_host.items()}
 
         pairs = self._round3a(self.tb, wire_polys, z_poly, pi_dense, ch)
-        tbv = self.tb
-        evs = [self.plan_8n._kernel(p, tbv["e_fwd"], tbv["e_coset"],
-                                    tbv["e_one"]) for p in pairs]
+        evs = [self._t_8n(p, "coset_dft") for p in pairs]
         # next-gate values: one roll dispatch per pair (z,a | b,c | d,pi)
         rolled = [self._roll8(e) for e in evs]
         E = self.quotient_chunk
@@ -511,8 +582,7 @@ class DeviceEngine:
                    for c in range(self.n8 // E)]
         t_evals = t_parts[0] if len(t_parts) == 1 else \
             self._concat_t(t_parts)
-        t_coeffs = self.plan_8n._kernel(
-            t_evals, tbv["e_inv"], tbv["e_one"], tbv["e_cosetinv"])
+        t_coeffs = self._t_8n(t_evals, "coset_idft")
         chunks, chunks_canon, tail_bad = self._round3c(self.tb, t_coeffs)
         if bool(jax.device_get(tail_bad)):
             raise Error("polynomial degree exceeds SRS (unsatisfied circuit)")
