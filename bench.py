@@ -114,8 +114,19 @@ def _random_points(n, rng):
         if len(winpts) % 2:
             nxt.append(winpts[-1])
         winpts = nxt
-    jax.block_until_ready(winpts[0])
-    return winpts[0]
+
+    # normalize to affine (z = 1): MsmPlan's mixed-add scan requires
+    # strictly affine input points (like the real SRS)
+    @jax.jit
+    def to_affine(X, Y, Z):
+        Fq = G1.F
+        zi = Fq.pow_const(Z, Fq.spec.modulus - 2)
+        one = jnp.broadcast_to(jnp.asarray(G1.identity[1]), Z.shape)
+        return Fq.mul(X, zi), Fq.mul(Y, zi), one
+
+    out = to_affine(*winpts[0])
+    jax.block_until_ready(out)
+    return out
 
 
 def _sync(out):

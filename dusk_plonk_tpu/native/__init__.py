@@ -63,6 +63,10 @@ def lib():
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
     L.dn_pairing_is_one.restype = ctypes.c_int
+    if hasattr(L, "dn_g1_combine_windows"):
+        L.dn_g1_combine_windows.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_char_p]
     _lib = L
     return _lib
 
@@ -86,6 +90,35 @@ def chacha_blocks(key_words, counter: int, nonce_words, rounds: int,
     out = (ctypes.c_uint32 * (16 * nblocks))()
     lib().dn_chacha_blocks(key, counter, nonce, rounds, nblocks, out)
     return list(out)
+
+
+def has_combine_windows() -> bool:
+    L = lib()
+    return L is not None and hasattr(L, "dn_g1_combine_windows")
+
+
+def g1_combine_windows(totals: bytes, b: int, w: int, window_bits: int):
+    """Combine per-window MSM totals fetched from the device.
+
+    totals: b*w*144 bytes — per (commit, window, LSB-first) a projective
+    Montgomery (X, Y, Z) triple of 48 LE bytes each.  Returns a list of b
+    affine host points ((x, y) ints or None for infinity)."""
+    out = ctypes.create_string_buffer(96 * b)
+    out_inf = ctypes.create_string_buffer(b)
+    lib().dn_g1_combine_windows(
+        totals, b, w, window_bits,
+        ctypes.cast(out, ctypes.c_char_p),
+        ctypes.cast(out_inf, ctypes.c_char_p))
+    res = []
+    raw = out.raw
+    for k in range(b):
+        if out_inf.raw[k]:
+            res.append(None)
+        else:
+            res.append((int.from_bytes(raw[96 * k:96 * k + 48], "little"),
+                        int.from_bytes(raw[96 * k + 48:96 * k + 96],
+                                       "little")))
+    return res
 
 
 def g1_msm(points, scalars):

@@ -39,6 +39,19 @@ class DeviceG1:
             return _int_to_limbs(spec, v * spec.mont_r % spec.modulus)[:, None]
         self.b3 = mont_np(B3)
         self.identity = (mont_np(0), mont_np(1), mont_np(0))  # (24, 1) each
+        from ..curves.bls import G1_GENERATOR
+        # affine generator (z = 1): the scalar-0 pad point for MSM inputs
+        # that must stay strictly affine (ops/msm.py mixed-add scan)
+        self.generator_affine = (mont_np(G1_GENERATOR[0]),
+                                 mont_np(G1_GENERATOR[1]))
+
+    def _mul12(self, F, x):
+        """12*x = 8x + 4x via 4 modular adds — replaces the b3 Montgomery
+        mul (b=4, b3=12): a mont mul is ~15x the vector work of an add."""
+        x2 = F.add(x, x)
+        x4 = F.add(x2, x2)
+        x8 = F.add(x4, x4)
+        return F.add(x8, x4)
 
     # -- host <-> device ---------------------------------------------------------
 
@@ -108,7 +121,6 @@ class DeviceG1:
         F = self.F
         x1, y1, z1 = p
         x2, y2, z2 = q
-        b3 = self.b3
 
         t0 = F.mul(x1, x2)
         t1 = F.mul(y1, y2)
@@ -121,10 +133,60 @@ class DeviceG1:
         y3 = F.sub(x3, F.add(t0, t2))              # x1z2 + x2z1
         x3 = F.add(t0, t0)
         t0 = F.add(x3, t0)                         # 3 x1x2
-        t2 = F.mul(b3, t2)                         # b3 z1z2
+        t2 = self._mul12(F, t2)                    # b3 z1z2
         z3 = F.add(t1, t2)
         t1 = F.sub(t1, t2)
-        y3 = F.mul(b3, y3)                         # b3 (x1z2 + x2z1)
+        y3 = self._mul12(F, y3)                    # b3 (x1z2 + x2z1)
+        x3 = F.mul(t4, y3)
+        t2 = F.mul(t3, t1)
+        x3 = F.sub(t2, x3)
+        y3 = F.mul(y3, t0)
+        t1 = F.mul(t1, z3)
+        y3 = F.add(t1, y3)
+        t0 = F.mul(t0, t3)
+        z3 = F.mul(z3, t4)
+        z3 = F.add(z3, t0)
+        return (x3, y3, z3)
+
+    def add_mixed(self, p, q2):
+        """p + (x2, y2) with q strictly AFFINE (z2 = 1, never the identity):
+        the RCB15 complete-mixed specialization — 11 Fq muls (vs 12 + 2
+        b3-muls), still branch-free and correct for p = identity, p = q,
+        p = -q.  The Pippenger scan's hot combiner (ops/msm.py): table
+        points are SRS powers (never infinity; pads use the generator with
+        scalar 0)."""
+        from .limb import _pallas_wanted
+        x1 = p[0]
+        if (_pallas_wanted() and x1.ndim >= 2 and x1.shape[-2] == self.F.L
+                and x1.shape == q2[0].shape and x1.shape[-1] >= 128):
+            from . import pallas_field as pf
+            if x1.ndim == 2:
+                return pf.ec_add_mixed(p, q2)
+            lead = x1.shape[:-2]
+            tail = x1.shape[-2:]
+            fp = tuple(c.reshape((-1,) + tail) for c in p)
+            fq_ = tuple(c.reshape((-1,) + tail) for c in q2)
+            out = jax.vmap(pf.ec_add_mixed)(fp, fq_)
+            return tuple(c.reshape(lead + tail) for c in out)
+        return self._add_mixed_xla(p, q2)
+
+    def _add_mixed_xla(self, p, q2):
+        F = self.F
+        x1, y1, z1 = p
+        x2, y2 = q2
+
+        t0 = F.mul(x1, x2)
+        t1 = F.mul(y1, y2)
+        t3 = F.mul(F.add(x1, y1), F.add(x2, y2))
+        t3 = F.sub(t3, F.add(t0, t1))              # x1y2 + x2y1
+        t4 = F.add(y1, F.mul(y2, z1))              # y1 + y2 z1
+        y3 = F.add(x1, F.mul(x2, z1))              # x1 + x2 z1
+        x3 = F.add(t0, t0)
+        t0 = F.add(x3, t0)                         # 3 x1x2
+        t2 = self._mul12(F, z1)                    # b3 z1
+        z3 = F.add(t1, t2)
+        t1 = F.sub(t1, t2)
+        y3 = self._mul12(F, y3)                    # b3 (x1 + x2 z1)
         x3 = F.mul(t4, y3)
         t2 = F.mul(t3, t1)
         x3 = F.sub(t2, x3)

@@ -39,6 +39,7 @@ from .ec import device_g1
 
 WINDOW_BITS = 8
 NUM_WINDOWS = 32  # 256 / 8
+SUB = 16          # bucket-reduction split: 256 buckets = 16 hi x 16 lo
 
 
 class MsmPlan:
@@ -76,6 +77,7 @@ class MsmPlan:
         # padding/digit/combine glue must live inside the jit
         self._msm_fn = jax.jit(self._msm_jit)
         self._msm_affine_fns = {}
+        self._msm_totals_fns = {}
 
     # -- digit extraction ----------------------------------------------------
 
@@ -89,17 +91,33 @@ class MsmPlan:
 
     # -- per-window-group kernel ------------------------------------------------
 
-    def _window_group_totals(self, px, py, pz, digits):
-        """digits (Wg, N); points (L, N) -> window totals (Wg, L, 1) x3.
+    def _window_group_totals(self, px, py, digits):
+        """digits (Wg, N); points (L, N) STRICTLY AFFINE (z = 1; pads are
+        the generator with scalar 0) -> window totals (Wg, L, 1) x3.
 
         All EC arithmetic runs on FLATTENED (L, lanes) arrays so the fused
         Pallas EC-add kernel fires (lanes = Wg*nc for the chunked prefix
-        scan, Wg*nb for the bucket phase)."""
+        scan, Wg*nb for the bucket phase).  The prefix scan uses the
+        11-mul complete MIXED addition (ops/ec.py add_mixed) — the table
+        operand is affine by construction — and gathers only x, y."""
         G1 = self.G1
         wg, n = digits.shape
         L = self.Fq.L
-        order = jnp.argsort(digits, axis=-1)             # (Wg, N)
-        sd = jnp.take_along_axis(digits, order, axis=-1)
+        shift = (n - 1).bit_length()
+        if shift + WINDOW_BITS <= 31:
+            # pack (digit, index) into ONE int32 key: a single-operand
+            # sort beats argsort's two-operand comparator network ~2x on
+            # TPU (argsort lowers to a (key, iota) variadic sort AND a
+            # separate take_along_axis for the sorted digits)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (wg, n), 1)
+            packed = jnp.bitwise_or(
+                jnp.left_shift(digits, shift), iota)
+            skey = jax.lax.sort(packed, dimension=-1)    # (Wg, N)
+            order = jnp.bitwise_and(skey, (1 << shift) - 1)
+            sd = jnp.right_shift(skey, shift)
+        else:  # digit+index exceed 31 bits (domains >= 2^24)
+            order = jnp.argsort(digits, axis=-1)         # (Wg, N)
+            sd = jnp.take_along_axis(digits, order, axis=-1)
 
         cl = self.chunk_len
         nc = n // cl
@@ -109,28 +127,39 @@ class MsmPlan:
             # -> (cl, L, Wg*nc): scan axis first, lanes flattened
             g = c[:, order].reshape(L, wg, nc, cl)
             return g.transpose(3, 0, 1, 2).reshape(cl, L, wg * nc)
-        xs = (gather_flat(px), gather_flat(py), gather_flat(pz))
+        xs = (gather_flat(px), gather_flat(py))
         ident = G1.broadcast_identity((), wg * nc)       # (L, Wg*nc)
 
         def body(carry, x):
-            nxt = G1.add(carry, x)
+            nxt = G1.add_mixed(carry, x)
             return nxt, nxt
         _, ps = jax.lax.scan(body, ident, xs)            # (cl, L, Wg*nc) x3
 
-        # chunk offsets: exclusive scan of chunk totals along nc.
-        # lax.scan (sequential, body = ONE add) — an associative_scan would
-        # inline log(nc) adds into the graph and blow up compile time.
-        totals = tuple(
-            c[-1].reshape(L, wg, nc).transpose(2, 0, 1)
-            for c in ps)                                 # (nc, L, Wg)
+        # chunk offsets: EXCLUSIVE prefix of the chunk totals along nc, per
+        # window.  Rolled Hillis-Steele in a fori_loop (ONE G1.add
+        # instantiation) over the full (L, Wg*nc) lane grid: log2(nc) wide
+        # fused steps instead of nc sequential steps on Wg lanes — the
+        # old <128-lane sequential scan ran unfused and cost ~90 ms per
+        # 2^16 MSM on the TPU.  Cross-window roll contamination lands only
+        # on lanes with pos < shift, which the mask keeps unchanged.
         ident_wg = G1.broadcast_identity((), wg)         # (L, Wg)
+        if nc == 1:
+            offsets = G1.broadcast_identity((), wg * nc)
+        else:
+            last = tuple(c[-1] for c in ps)              # (L, Wg*nc)
+            pos = jax.lax.iota(jnp.int32, wg * nc) % nc
+            ident_flat = G1.broadcast_identity((), wg * nc)
+            shifted = tuple(jnp.roll(c, 1, axis=-1) for c in last)
+            z0 = G1.select(pos == 0, ident_flat, shifted)
 
-        def off_body(carry, x):
-            nxt = G1.add(carry, x)
-            return nxt, carry                            # exclusive
-        _, offs_seq = jax.lax.scan(off_body, ident_wg, totals)
-        offsets = tuple(c.transpose(1, 2, 0).reshape(L, wg * nc)
-                        for c in offs_seq)               # (L, Wg*nc)
+            def hs_body(i, cur):
+                sh = jnp.int32(1) << i
+                rolled = tuple(jnp.roll(c, sh, axis=-1) for c in cur)
+                added = G1.add(cur, rolled)
+                return G1.select(pos >= sh, added, cur)
+
+            offsets = jax.lax.fori_loop(
+                0, (nc - 1).bit_length(), hs_body, z0)   # (L, Wg*nc)
 
         # locate bucket run boundaries
         nb = 1 << WINDOW_BITS
@@ -173,33 +202,68 @@ class MsmPlan:
         bucket_sums = G1.add(b_hi, G1.neg(b_lo))         # (L, Wg*nb)
         ident_b = G1.broadcast_identity((), wg * nb)
         bucket_sums = G1.select(empty, ident_b, bucket_sums)
-        # drop bucket 0 (digit 0 contributes nothing); iterate buckets from
-        # the top: running += B_d; total += running  =>  total = sum d*B_d.
-        # The two accumulators ride as EXTRA LANES of one G1.add:
-        # add((running | total), (x | running)) per step.  One add per step
-        # skews the recurrence to total' = total + running_OLD (total_new
-        # cannot see running_new inside the same add), so after n steps
-        # total misses the final running — the appended identity step
-        # (x = 0: running stays, total += running) restores it without a
-        # second EC-add instantiation.
-        desc = tuple(
-            jnp.concatenate(
-                [c.reshape(L, wg, nb)[..., 1:][..., ::-1]
-                  .transpose(2, 0, 1),
-                 i[None]], axis=0)
-            for c, i in zip(bucket_sums, ident_wg))      # (nb, L, Wg)
+        # weighted bucket reduction: total_w = sum_d d*B_d, two-level.
+        # With d = 16*hi + lo:
+        #   total = 16 * sum_hi hi*(sum_lo B) + sum_hi (sum_lo lo*B).
+        # Each level is a 16-step "skewed" scan whose ONE G1.add per step
+        # carries the accumulators as extra lanes: after k steps of
+        # (r, t) <- (r + x_j, t + r), t = sum_j (k-j)*x_j — so feeding
+        # x_j = B_{k-j} (buckets DESCENDING, bucket 0 last with weight 0)
+        # yields t = sum d*B_d and r = sum B_d exactly.  2*16+5 wide steps
+        # replace the old nb-1 = 255 sequential sub-128-lane steps.
+        assert nb == SUB * SUB
+        bs = tuple(c.reshape(L, wg, SUB, SUB) for c in bucket_sums)
 
-        def red_body(carry, x):
-            running, total = carry
-            lhs = tuple(jnp.concatenate([r, t], axis=-1)
-                        for r, t in zip(running, total))
-            rhs = tuple(jnp.concatenate([xc, r], axis=-1)
-                        for xc, r in zip(x, running))
-            out = G1.add(lhs, rhs)                       # (L, 2*Wg)
+        # level 1 over lo (digit minor): x_j = B[..., hi, 16-j]
+        lvl1 = tuple(
+            c[..., ::-1].transpose(3, 0, 1, 2).reshape(SUB, L, wg * SUB)
+            for c in bs)                                 # (16, L, Wg*16)
+        ident1 = G1.broadcast_identity((), wg * SUB)
+
+        def skew2_body(carry, x):
+            r, t = carry
+            lhs = tuple(jnp.concatenate([rc, tc], axis=-1)
+                        for rc, tc in zip(r, t))
+            rhs = tuple(jnp.concatenate([xc, rc], axis=-1)
+                        for xc, rc in zip(x, r))
+            out = G1.add(lhs, rhs)                       # (L, 2*Wg*16)
+            half = out[0].shape[-1] // 2
+            return (tuple(c[..., :half] for c in out),
+                    tuple(c[..., half:] for c in out)), None
+
+        (h_sum, s_sum), _ = jax.lax.scan(
+            skew2_body, (ident1, ident1), lvl1)          # (L, Wg*16) x2
+        # h_sum[hi] = sum_lo B_{hi,lo};  s_sum[hi] = sum_lo lo*B_{hi,lo}
+
+        # level 2 over hi: skewed scan on H (t = sum hi*H_hi) with a third
+        # accumulator lane plainly summing S: (r,t,s) <- (r+xH, t+r, s+xS)
+        lvl2_h = tuple(
+            c.reshape(L, wg, SUB)[..., ::-1].transpose(2, 0, 1)
+            for c in h_sum)                              # (16, L, Wg)
+        lvl2_s = tuple(
+            c.reshape(L, wg, SUB)[..., ::-1].transpose(2, 0, 1)
+            for c in s_sum)
+
+        def skew3_body(carry, x):
+            r, t, s = carry
+            xh, xs = x
+            lhs = tuple(jnp.concatenate([rc, tc, sc], axis=-1)
+                        for rc, tc, sc in zip(r, t, s))
+            rhs = tuple(jnp.concatenate([xc, rc, yc], axis=-1)
+                        for xc, rc, yc in zip(xh, r, xs))
+            out = G1.add(lhs, rhs)                       # (L, 3*Wg)
             return (tuple(c[..., :wg] for c in out),
-                    tuple(c[..., wg:] for c in out)), None
-        (_, total), _ = jax.lax.scan(
-            red_body, (ident_wg, ident_wg), desc)        # (L, Wg) x3
+                    tuple(c[..., wg:2 * wg] for c in out),
+                    tuple(c[..., 2 * wg:] for c in out)), None
+
+        (_, hi_w, lo_tot), _ = jax.lax.scan(
+            skew3_body, (ident_wg, ident_wg, ident_wg),
+            (lvl2_h, lvl2_s))                            # (L, Wg) x3
+
+        # total = 16 * hi_w + lo_tot
+        acc16 = jax.lax.fori_loop(
+            0, 4, lambda i, a: G1.add(a, a), hi_w)
+        total = G1.add(acc16, lo_tot)
         return tuple(jnp.moveaxis(c, -1, 0)[..., None] for c in total)
 
     def _combine_windows(self, wx, wy, wz):
@@ -221,25 +285,37 @@ class MsmPlan:
 
     # -- public ------------------------------------------------------------------
 
-    def _msm_jit(self, px, py, pz, scalar_limbs):
+    def _msm_totals_jit(self, px, py, pz, scalar_limbs):
+        """All the N-heavy work: -> LSB-first window totals (W, L, 1) x3
+        in projective Montgomery form.  Points must be AFFINE (z = 1,
+        no infinity): pads are the GENERATOR with scalar 0 — they sort
+        into bucket 0, which the weighted reduction never touches — so
+        the mixed-add scan's z2 = 1 precondition holds on every lane.
+        pz is accepted for call-site compatibility and ignored."""
+        del pz
         if self.n_pad != self.n:
             pad = self.n_pad - self.n
-            ident = self.G1.broadcast_identity((), pad)
-            px = jnp.concatenate([px, ident[0]], axis=-1)
-            py = jnp.concatenate([py, ident[1]], axis=-1)
-            pz = jnp.concatenate([pz, ident[2]], axis=-1)
+            gen = self.G1.generator_affine                # (L, 1) x2 numpy
+            px = jnp.concatenate(
+                [px, jnp.broadcast_to(gen[0], (px.shape[0], pad))], axis=-1)
+            py = jnp.concatenate(
+                [py, jnp.broadcast_to(gen[1], (py.shape[0], pad))], axis=-1)
             scalar_limbs = jnp.concatenate(
                 [scalar_limbs, jnp.zeros((scalar_limbs.shape[0], pad),
                                          scalar_limbs.dtype)], axis=-1)
         digits = self._digits(scalar_limbs)              # (32, n_pad)
         totals = []
         for g in range(0, NUM_WINDOWS, self.wg):
-            t = self._window_group_totals(px, py, pz,
+            t = self._window_group_totals(px, py,
                                           digits[g:g + self.wg])
             totals.append(t)
         wx = jnp.concatenate([t[0] for t in totals], axis=0)
         wy = jnp.concatenate([t[1] for t in totals], axis=0)
         wz = jnp.concatenate([t[2] for t in totals], axis=0)
+        return wx, wy, wz
+
+    def _msm_jit(self, px, py, pz, scalar_limbs):
+        wx, wy, wz = self._msm_totals_jit(px, py, pz, scalar_limbs)
         # windows were emitted LSB-first; combine expects MSB-first
         return self._combine_windows(wx[::-1], wy[::-1], wz[::-1])
 
@@ -296,12 +372,15 @@ class MsmPlan:
                 out.extend(self.msm_affine_batch(
                     points, limbs_stack[s:s + M]))
             return out[:B]
-        fn = self._msm_affine_fns.get(B)
-        if fn is None:
-            fn = self._msm_affine_fns[B] = jax.jit(self._msm_affine_jit)
         px, py, pz = points
         tracer.count("msm_dispatch")
         tracer.count("msm_points", self.n * B)
+        from .. import native
+        if native.has_combine_windows():
+            return self._start_host_combine(points, limbs_stack)()
+        fn = self._msm_affine_fns.get(B)
+        if fn is None:
+            fn = self._msm_affine_fns[B] = jax.jit(self._msm_affine_jit)
         coords, inf = fn(px, py, pz, limbs_stack)
         coords = np.asarray(jax.device_get(coords)).astype("<u2")
         inf = np.asarray(jax.device_get(inf))
@@ -314,6 +393,56 @@ class MsmPlan:
                 y = int.from_bytes(coords[b, 1].tobytes(), "little")
                 out.append((x, y))
         return out
+
+    def _start_host_combine(self, points, limbs_stack):
+        """Host-combine path, dispatch/fetch split: the device returns
+        per-window totals (jax dispatch is async); the returned thunk
+        fetches (B*9 KB) and runs the 248 doublings + 31 adds per commit
+        plus the affine conversion in the C++ engine in microseconds —
+        the on-device combine was serial at lane-width B (unfused,
+        ~130 ms per batch)."""
+        px, py, pz = points
+        B = limbs_stack.shape[0]
+        fn = self._msm_totals_fns.get(B)
+        if fn is None:
+            fn = self._msm_totals_fns[B] = jax.jit(
+                jax.vmap(self._msm_totals_jit,
+                         in_axes=(None, None, None, 0)))
+        from .. import native
+        wx, wy, wz = fn(px, py, pz, limbs_stack)         # (B, W, L, 1) x3
+
+        def fetch():
+            arrs = [np.asarray(jax.device_get(c))[..., 0].astype("<u2")
+                    for c in (wx, wy, wz)]               # (B, W, L) u16
+            buf = np.stack(arrs, axis=2)                 # (B, W, 3, L)
+            return native.g1_combine_windows(
+                buf.tobytes(), B, NUM_WINDOWS, WINDOW_BITS)
+
+        return fetch
+
+    def msm_affine_batch_start(self, points, limbs_stack):
+        """Dispatch the batch now, fetch later (returns a thunk) — lets a
+        host round trip overlap the MSM's device time.  Falls back to a
+        plain deferred call when the native combine engine is absent."""
+        from .. import native
+        if not native.has_combine_windows():
+            return lambda: self.msm_affine_batch(points, limbs_stack)
+        B = limbs_stack.shape[0]
+        M = self.MAX_FUSED_COMMITS
+        if B > M:
+            pad = (-B) % M
+            if pad:
+                limbs_stack = jnp.concatenate(
+                    [limbs_stack, jnp.zeros(
+                        (pad,) + limbs_stack.shape[1:],
+                        limbs_stack.dtype)], axis=0)
+            thunks = [self._start_host_combine(points,
+                                               limbs_stack[s:s + M])
+                      for s in range(0, B + pad, M)]
+            return lambda: [p for t in thunks for p in t()][:B]
+        tracer.count("msm_dispatch")
+        tracer.count("msm_points", self.n * B)
+        return self._start_host_combine(points, limbs_stack)
 
     def msm(self, points, scalars_int):
         """Host convenience: scalars as Python ints -> affine host point."""

@@ -167,16 +167,25 @@ def emit_sub_mod(a, b, mod):
     return jnp.where(borrow != 0, wrapped, d)
 
 
-def emit_ec_add(p, q, mod_col, np_col, b3_col):
+def _emit_mul12(x, mod):
+    """12*x = 8x + 4x via 4 modular adds: replaces the b3 Montgomery mul
+    (b = 4, b3 = 12) at ~1/15 the vector work."""
+    x2 = emit_add_mod(x, x, mod)
+    x4 = emit_add_mod(x2, x2, mod)
+    x8 = emit_add_mod(x4, x4, mod)
+    return emit_add_mod(x8, x4, mod)
+
+
+def emit_ec_add(p, q, mod_col, np_col):
     """Complete projective G1 addition (RCB15 alg.7, a=0) fused in-kernel:
-    12 Montgomery muls + 2 b3-muls with NO HBM intermediates (the XLA
-    version round-trips ~40 (L, N) buffers through HBM per addition)."""
+    12 Montgomery muls (b3-muls are add chains) with NO HBM intermediates
+    (the XLA version round-trips ~40 (L, N) buffers through HBM per
+    addition)."""
     x1, y1, z1 = p
     x2, y2, z2 = q
     L, T = x1.shape
     zz = jnp.zeros((L, T), jnp.uint32)
     mod = mod_col + zz
-    b3 = b3_col + zz
 
     def mul(a, b):
         return emit_mont_mul(a, b, mod_col, np_col)
@@ -195,10 +204,50 @@ def emit_ec_add(p, q, mod_col, np_col, b3_col):
     y3 = sub(x3, add(t0, t2))
     x3 = add(t0, t0)
     t0 = add(x3, t0)
-    t2 = mul(b3, t2)
+    t2 = _emit_mul12(t2, mod)
     z3 = add(t1, t2)
     t1 = sub(t1, t2)
-    y3 = mul(b3, y3)
+    y3 = _emit_mul12(y3, mod)
+    x3 = mul(t4, y3)
+    t2 = mul(t3, t1)
+    x3 = sub(t2, x3)
+    y3 = mul(y3, t0)
+    t1 = mul(t1, z3)
+    y3 = add(t1, y3)
+    t0 = mul(t0, t3)
+    z3 = mul(z3, t4)
+    z3 = add(z3, t0)
+    return x3, y3, z3
+
+
+def emit_ec_add_mixed(p, q2, mod_col, np_col):
+    """Complete MIXED addition: q = (x2, y2) strictly affine (z2 = 1,
+    never infinity) — 11 Montgomery muls.  Correct for p = identity,
+    p = q, p = -q (RCB15 mixed specialization, a=0)."""
+    x1, y1, z1 = p
+    x2, y2 = q2
+    L, T = x1.shape
+    zz = jnp.zeros((L, T), jnp.uint32)
+    mod = mod_col + zz
+
+    def mul(a, b):
+        return emit_mont_mul(a, b, mod_col, np_col)
+
+    add = lambda a, b: emit_add_mod(a, b, mod)
+    sub = lambda a, b: emit_sub_mod(a, b, mod)
+
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t3 = mul(add(x1, y1), add(x2, y2))
+    t3 = sub(t3, add(t0, t1))              # x1y2 + x2y1
+    t4 = add(y1, mul(y2, z1))              # y1 + y2 z1
+    y3 = add(x1, mul(x2, z1))              # x1 + x2 z1
+    x3 = add(t0, t0)
+    t0 = add(x3, t0)                       # 3 x1x2
+    t2 = _emit_mul12(z1, mod)              # b3 z1
+    z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = _emit_mul12(y3, mod)
     x3 = mul(t4, y3)
     t2 = mul(t3, t1)
     x3 = sub(t2, x3)
@@ -216,7 +265,18 @@ def _ec_add_kernel(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref,
     x3, y3, z3 = emit_ec_add(
         (px_ref[:], py_ref[:], pz_ref[:]),
         (qx_ref[:], qy_ref[:], qz_ref[:]),
-        c_ref[:, 0:1], c_ref[:, 1:2], c_ref[:, 2:3])
+        c_ref[:, 0:1], c_ref[:, 1:2])
+    ox_ref[:] = x3
+    oy_ref[:] = y3
+    oz_ref[:] = z3
+
+
+def _ec_add_mixed_kernel(px_ref, py_ref, pz_ref, qx_ref, qy_ref,
+                         c_ref, ox_ref, oy_ref, oz_ref):
+    x3, y3, z3 = emit_ec_add_mixed(
+        (px_ref[:], py_ref[:], pz_ref[:]),
+        (qx_ref[:], qy_ref[:]),
+        c_ref[:, 0:1], c_ref[:, 1:2])
     ox_ref[:] = x3
     oy_ref[:] = y3
     oz_ref[:] = z3
@@ -224,13 +284,11 @@ def _ec_add_kernel(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref,
 
 @lru_cache(maxsize=None)
 def _ec_consts():
-    """(24, 3): Fq modulus, -p^-1 mod R, b3=12 in Montgomery form."""
+    """(24, 2): Fq modulus, -p^-1 mod R."""
     spec = FQ_SPEC
     nprime = (-pow(spec.modulus, -1, 1 << spec.bits)) % (1 << spec.bits)
-    b3m = 12 * spec.mont_r % spec.modulus
     return np.stack([_int_to_limbs(spec, spec.modulus),
-                     _int_to_limbs(spec, nprime),
-                     _int_to_limbs(spec, b3m)], axis=1)
+                     _int_to_limbs(spec, nprime)], axis=1)
 
 
 @lru_cache(maxsize=None)
@@ -238,7 +296,7 @@ def _ec_add_call(n: int, tile: int, interpret: bool):
     L = FQ_SPEC.limbs
     grid = (n // tile,)
     bs = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    cs = pl.BlockSpec((L, 3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((L, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
     return pl.pallas_call(
         _ec_add_kernel,
@@ -248,6 +306,44 @@ def _ec_add_call(n: int, tile: int, interpret: bool):
         out_specs=(bs, bs, bs),
         interpret=interpret,
     )
+
+
+@lru_cache(maxsize=None)
+def _ec_add_mixed_call(n: int, tile: int, interpret: bool):
+    L = FQ_SPEC.limbs
+    grid = (n // tile,)
+    bs = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((L, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        _ec_add_mixed_kernel,
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[bs] * 5 + [cs],
+        out_specs=(bs, bs, bs),
+        interpret=interpret,
+    )
+
+
+def ec_add_mixed(p, q2, interpret: bool | None = None):
+    """Fused complete mixed addition: p ((24,N),)*3 + q2 ((24,N),)*2
+    affine.  Same tiling rules as ec_add."""
+    n = p[0].shape[-1]
+    tile = get_config().ec_tile
+    consts = jnp.asarray(_ec_consts())
+    if interpret is None:
+        interpret = _interpret_default()
+    pad = (-n) % tile
+    if pad:
+        def pd(c):
+            return jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)])
+        p = tuple(pd(c) for c in p)
+        q2 = tuple(pd(c) for c in q2)
+    out = _ec_add_mixed_call(n + pad, tile, interpret)(
+        p[0], p[1], p[2], q2[0], q2[1], consts)
+    if pad:
+        out = tuple(c[..., :n] for c in out)
+    return out
 
 
 def ec_add(p, q, interpret: bool | None = None):
@@ -309,7 +405,8 @@ def _interpret_default() -> bool:
         return True
 
 
-def mont_mul(spec: FieldSpec, a, b, interpret: bool | None = None):
+def mont_mul(spec: FieldSpec, a, b, interpret: bool | None = None,
+             tile: int | None = None):
     """Batched Montgomery mul on (L, N) arrays.  Tiles lanes at 1024/512
     (odd lane counts padded); interpret mode auto-enables off-TPU (for the
     CPU test suite)."""
@@ -319,7 +416,7 @@ def mont_mul(spec: FieldSpec, a, b, interpret: bool | None = None):
     consts = jnp.asarray(_field_consts(spec))
     if interpret is None:
         interpret = _interpret_default()
-    big = get_config().mul_tile
+    big = tile if tile is not None else get_config().mul_tile
     t = next((c for c in (big, 512) if n % c == 0), None)
     if t is None:
         pad = (-n) % 512

@@ -87,13 +87,15 @@ class ShardedMsm:
         machinery instantiates once per window group, not per commit."""
         G1, plan = self.G1, self.plan
         G = limbs.shape[0]
-        # per-shard identity padding (zero scalars land in dropped bucket 0)
+        # per-shard generator padding with scalar 0 (lands in dropped
+        # bucket 0): the mixed-add scan needs every point strictly affine
         if plan.n_pad != plan.n:
             pad = plan.n_pad - plan.n
-            ident = G1.broadcast_identity((), pad)
-            px = jnp.concatenate([px, ident[0]], axis=-1)
-            py = jnp.concatenate([py, ident[1]], axis=-1)
-            pz = jnp.concatenate([pz, ident[2]], axis=-1)
+            gen = G1.generator_affine
+            px = jnp.concatenate(
+                [px, jnp.broadcast_to(gen[0], (px.shape[0], pad))], axis=-1)
+            py = jnp.concatenate(
+                [py, jnp.broadcast_to(gen[1], (py.shape[0], pad))], axis=-1)
             limbs = jnp.concatenate(
                 [limbs, jnp.zeros((G, limbs.shape[1], pad), limbs.dtype)],
                 axis=-1)
@@ -102,7 +104,7 @@ class ShardedMsm:
         totals = []
         for s in range(0, G * NUM_WINDOWS, plan.wg):
             totals.append(plan._window_group_totals(
-                px, py, pz, digits[s:s + plan.wg]))
+                px, py, digits[s:s + plan.wg]))
         wx = jnp.concatenate([t[0] for t in totals], axis=0)  # (G*32, L, 1)
         wy = jnp.concatenate([t[1] for t in totals], axis=0)
         wz = jnp.concatenate([t[2] for t in totals], axis=0)

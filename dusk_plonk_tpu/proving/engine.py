@@ -77,6 +77,11 @@ LIN_ORDER = ("q_m", "q_l", "q_r", "q_o", "q_4", "q_c", "q_range", "q_logic",
              "s_sigma_4")
 
 
+# jitted round kernels shared across same-shape DeviceEngine instances
+# (see _build_kernels): {(cls, n, n8, ns, E): {name: jitted fn}}
+_KERNEL_CACHE: dict = {}
+
+
 class DeviceEngine:
     """Per-circuit compiled prover state (round kernels jit once, every
     subsequent proof reuses the compiled graphs)."""
@@ -151,10 +156,14 @@ class DeviceEngine:
                 "idft": (tb["n_inv"], tb["n_one"], tb["n_ninv"])}[kind]
         return pn._transform(x, *args)
 
-    def _t_8n(self, pair, kind):
+    def _t_8n(self, tb, pair, kind):
         """8n coset transform of one (2, L, n8) pair; kind in
-        {coset_dft, coset_idft}."""
-        p8, tb = self.plan_8n, self.tb
+        {coset_dft, coset_idft}.  tb MUST ride as an argument: called
+        inside the fused round-3 jit, reading self.tb would embed the
+        ~640 MB stacked twiddle tables as HLO constants (the serialized
+        module hit 959 MB and the remote compile service rejected it
+        with HTTP 413)."""
+        p8 = self.plan_8n
         args = {"coset_dft": (tb["e_fwd"], tb["e_coset"], tb["e_one"]),
                 "coset_idft": (tb["e_inv"], tb["e_one"],
                                tb["e_cosetinv"])}[kind]
@@ -380,6 +389,42 @@ class DeviceEngine:
         def concat_t(chunks):
             return jnp.concatenate(chunks, axis=-1)
 
+        def round3_pipeline(tb, wire_polys, z_poly, pi_dense, ch):
+            """Single-chip FUSED round 3 compute: pad -> 3 pair coset-DFTs
+            -> +8 rolls -> chunked quotient grid (fori_loop reuses the
+            chunk working set) -> coset-iDFT, all in ONE dispatch.  Every
+            host-visible dispatch+fetch cycle costs ~29 ms on the tunneled
+            backend (measured no-op jit), and the decomposed path took 13
+            of them.  ShardedEngine overrides _round3_compute instead
+            (its transforms are shard_map programs issued per call)."""
+            p0, p1, p2 = round3(tb, wire_polys, z_poly, pi_dense, ch)
+            # ONE ladder instance via lax.scan over the 3 identically-
+            # shaped pairs — three inline instances overflow the remote
+            # compile service's request-size limit (HTTP 413, measured)
+            stacked = jnp.stack([p0, p1, p2])             # (3, 2, L, n8)
+
+            def pair_step(_, pair):
+                ev = self._t_8n(tb, pair, "coset_dft")
+                return None, (ev, roll8(ev))
+
+            _, (evs_s, rolled_s) = jax.lax.scan(pair_step, None, stacked)
+            evs = [evs_s[0], evs_s[1], evs_s[2]]
+            rolled = [rolled_s[0], rolled_s[1], rolled_s[2]]
+            if E == n8:
+                t_evals = round3b(tb, evs[0], evs[1], evs[2], rolled,
+                                  ch, jnp.int32(0))
+            else:
+                acc0 = jnp.zeros((F.L, n8), jnp.uint32)
+
+                def body(c, acc):
+                    t = round3b(tb, evs[0], evs[1], evs[2], rolled,
+                                ch, c * E)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        acc, t, c * E, axis=-1)
+
+                t_evals = jax.lax.fori_loop(0, n8 // E, body, acc0)
+            return self._t_8n(tb, t_evals, "coset_idft")
+
         def round3c(tb, t_coeffs):
             # SRS-degree check (reference errors at t_4 commit for
             # unsatisfiable witnesses — the negative-test path)
@@ -473,19 +518,28 @@ class DeviceEngine:
             both = jnp.stack([agg1, agg2])
             return both, F.from_mont(both)
 
-        self._round1 = jax.jit(round1)
-        self._round2 = jax.jit(round2)
-        self._round3a = jax.jit(round3)
-        self._round3b = jax.jit(round3b)
-        self._round3c = jax.jit(round3c)
-        self._roll8 = jax.jit(roll8)
-        self._concat_t = jax.jit(concat_t)
-        self._take_row = jax.jit(
-            lambda arr, i: jax.lax.dynamic_index_in_dim(
-                arr, i, 0, keepdims=False))
-        self._evals = jax.jit(evals_fn)
-        self._rpoly = jax.jit(rpoly_fn)
-        self._openings = jax.jit(openings_fn)
+        kernels = dict(
+            _round1=round1, _round2=round2, _round3a=round3,
+            _round3b=round3b, _round3c=round3c, _roll8=roll8,
+            _concat_t=concat_t, _round3_pipeline=round3_pipeline,
+            _take_row=lambda arr, i: jax.lax.dynamic_index_in_dim(
+                arr, i, 0, keepdims=False),
+            _evals=evals_fn, _rpoly=rpoly_fn, _openings=openings_fn)
+
+        # share jitted kernels across engine INSTANCES of the same shape
+        # (base class only: subclass hooks change the traced graphs).
+        # Tables/SRS ride as jit ARGUMENTS, so the closures capture only
+        # shape constants — the CPU test suite builds several same-k
+        # engines and each XLA:CPU compile costs minutes on this host.
+        key = (type(self), n, n8, ns, E)
+        cached = _KERNEL_CACHE.get(key) if type(self) is DeviceEngine \
+            else None
+        if cached is None:
+            cached = {name: jax.jit(fn) for name, fn in kernels.items()}
+            if type(self) is DeviceEngine:
+                _KERNEL_CACHE[key] = cached
+        for name, fn in cached.items():
+            setattr(self, name, fn)
 
     # -- helpers ----------------------------------------------------------------
 
@@ -498,6 +552,44 @@ class DeviceEngine:
         conversion fused into ONE dispatch + ONE fetch (each dispatch+
         fetch cycle costs ~30 ms on the tunneled backend)."""
         return self.msm.msm_affine_batch(self.srs, canon_stack)
+
+    def _commit_batch_async(self, canon_stack):
+        """Dispatch the commit batch now, fetch later: returns a thunk.
+        Lets the tail_bad fetch (one ~29 ms round trip) ride under the
+        MSM's device time.  Subclasses without an async path fall back
+        to a plain deferred call."""
+        start = getattr(self.msm, "msm_affine_batch_start", None)
+        if start is None:
+            return lambda: self._commit_batch(canon_stack)
+        return start(self.srs, canon_stack)
+
+    def _round3_compute(self, tb, wire_polys, z_poly, pi_dense, ch):
+        """Challenges -> t(X) coefficients (8n).
+
+        On the TPU: ONE fused dispatch (round3_pipeline) — each host-
+        visible dispatch+fetch cycle costs ~29 ms on the tunneled backend
+        and the decomposed path takes 13 of them.  Off-TPU (the CPU test
+        mesh): the decomposed per-stage jits — the fused graph multiplies
+        XLA:CPU compile time on the 1-core host where round-trip latency
+        is irrelevant anyway."""
+        from ..ops.limb import _pallas_wanted
+        if _pallas_wanted():
+            return self._round3_pipeline(
+                tb, wire_polys, z_poly, pi_dense, ch)
+        return self._round3_decomposed(
+            tb, wire_polys, z_poly, pi_dense, ch)
+
+    def _round3_decomposed(self, tb, wire_polys, z_poly, pi_dense, ch):
+        pairs = self._round3a(tb, wire_polys, z_poly, pi_dense, ch)
+        evs = [self._t_8n(tb, p, "coset_dft") for p in pairs]
+        rolled = [self._roll8(e) for e in evs]
+        E = self.quotient_chunk
+        t_parts = [self._round3b(tb, evs[0], evs[1], evs[2], rolled,
+                                 ch, np.int32(c * E))
+                   for c in range(self.n8 // E)]
+        t_evals = t_parts[0] if len(t_parts) == 1 else \
+            self._concat_t(t_parts)
+        return self._t_8n(tb, t_evals, "coset_idft")
 
     # -- the proof --------------------------------------------------------------
 
@@ -572,21 +664,16 @@ class DeviceEngine:
                        var_base_sep=var_base_sep)
         ch = {k: F.pack_scalar(v) for k, v in ch_host.items()}
 
-        pairs = self._round3a(self.tb, wire_polys, z_poly, pi_dense, ch)
-        evs = [self._t_8n(p, "coset_dft") for p in pairs]
-        # next-gate values: one roll dispatch per pair (z,a | b,c | d,pi)
-        rolled = [self._roll8(e) for e in evs]
-        E = self.quotient_chunk
-        t_parts = [self._round3b(self.tb, evs[0], evs[1], evs[2], rolled,
-                                 ch, np.int32(c * E))
-                   for c in range(self.n8 // E)]
-        t_evals = t_parts[0] if len(t_parts) == 1 else \
-            self._concat_t(t_parts)
-        t_coeffs = self._t_8n(t_evals, "coset_idft")
+        t_coeffs = self._round3_compute(
+            self.tb, wire_polys, z_poly, pi_dense, ch)
         chunks, chunks_canon, tail_bad = self._round3c(self.tb, t_coeffs)
+        # dispatch the commit FIRST so the tail_bad fetch (~29 ms round
+        # trip) overlaps the MSM's device time; the reference's error
+        # still surfaces before any commitment is absorbed
+        t_fetch = self._commit_batch_async(chunks_canon)
         if bool(jax.device_get(tail_bad)):
             raise Error("polynomial degree exceeds SRS (unsatisfied circuit)")
-        t_commits = self._commit_batch(chunks_canon)
+        t_commits = t_fetch()
         for label, comm in zip((b"t_low", b"t_mid", b"t_high", b"t_4"),
                                t_commits):
             transcript.append_commitment(label, comm)

@@ -85,15 +85,21 @@ class ShardedEngine(DeviceEngine):
         for key in ("n_fwd", "n_inv", "n_one", "n_ninv",
                     "e_fwd", "e_inv", "e_one", "e_coset", "e_cosetinv"):
             tb[key] = z
-        # pad the SRS to the device width (identity points: zero-coefficient
-        # pad lanes contribute nothing to any commitment) and shard it
+        # pad the SRS to the device width (generator points with always-
+        # zero coefficients: contribute nothing to any commitment, and
+        # keep every lane strictly affine for the mixed-add Pippenger
+        # scan) and shard it
         if self.nsd != self.ns:
             pad = self.nsd - self.ns
-            ident = self.G1.broadcast_identity((), pad)
+            gx, gy = self.G1.generator_affine
+            mont_one = self.G1.identity[1]       # (L, 1) Montgomery 1
+            L = gx.shape[0]
+            padpts = (jnp.broadcast_to(gx, (L, pad)),
+                      jnp.broadcast_to(gy, (L, pad)),
+                      jnp.broadcast_to(mont_one, (L, pad)))
             self.srs = tuple(
-                jnp.concatenate([c, jnp.broadcast_to(i, (c.shape[0], pad))],
-                                axis=-1)
-                for c, i in zip(self.srs, ident))
+                jnp.concatenate([c, p], axis=-1)
+                for c, p in zip(self.srs, padpts))
         self.srs = tuple(put(c, self._sh(2)) for c in self.srs)
         self.smsm = ShardedMsm(self.mesh, self.axis, self.nsd,
                                tier=self.msm_tier)
@@ -108,7 +114,7 @@ class ShardedEngine(DeviceEngine):
     def _t_n(self, tb, x, kind):
         return distributed_ntt(self.mesh, self.axis, x, self.k, kind)
 
-    def _t_8n(self, pair, kind):
+    def _t_8n(self, tb, pair, kind):
         return distributed_ntt(self.mesh, self.axis, pair, self.k8, kind)
 
     def _prefix_mul(self, x):
@@ -125,6 +131,14 @@ class ShardedEngine(DeviceEngine):
 
     def _quotient_chunk_len(self):
         return self.n8  # domain sharding already divides the working set
+
+    def _round3_compute(self, tb, wire_polys, z_poly, pi_dense, ch):
+        """Always decomposed (the single-chip engine fuses round 3 into
+        one dispatch on TPU): the 8n transforms are four-step shard_map
+        programs issued per call, and the +8 roll on the sharded axis is
+        the boundary collective-permute XLA derives from jnp.roll."""
+        return self._round3_decomposed(
+            tb, wire_polys, z_poly, pi_dense, ch)
 
     def _device_width(self, ns: int) -> int:
         return -(-ns // self.D) * self.D

@@ -15,7 +15,10 @@ from dataclasses import dataclass, replace
 class TpuPlonkConfig:
     # --- MSM (ops/msm.py) -------------------------------------------------
     msm_window_bits: int = 8        # Pippenger window width
-    msm_chunk_len: int = 512        # sequential depth of the bucket scan
+    msm_chunk_len: int = 256        # sequential depth of the bucket scan
+                                    # (halving it doubles the scan lanes;
+                                    # 256 beat 512 by ~30% at 2^16 once the
+                                    # chunk-offset pass went log-depth)
     msm_group_slots: int = 1 << 22  # point-slot cap per window group
 
     # --- Pallas kernels (ops/pallas_field.py) ----------------------------

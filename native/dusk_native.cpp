@@ -471,6 +471,55 @@ extern "C" void dn_g1_msm(const uint8_t* points, const uint8_t* inf, const uint8
 }
 
 // ---------------------------------------------------------------------------
+// Window combine for the device Pippenger (ops/msm.py): the device emits
+// per-window totals; the 248 doublings + 31 adds of the MSB-first combine
+// are serial with lane-width 1 on the TPU (unfused, ~30-130 ms per commit
+// batch) but microseconds here.  Input: b commits x w window totals in
+// HOMOGENEOUS projective (X:Y:Z, x=X/Z) Montgomery form, LSB window first,
+// 3x48B LE each.  Converted to Jacobian via (X*Z, Y*Z^2, Z) -- same affine
+// point -- then combined acc = 2^c * acc + T_w and stored as canonical
+// affine x,y (96B per commit) + at-infinity flags.
+// ---------------------------------------------------------------------------
+
+extern "C" void dn_g1_combine_windows(const uint8_t* totals, int64_t b,
+                                      int64_t w, int64_t window_bits,
+                                      uint8_t* out_xy, uint8_t* out_inf) {
+  ensure_init();
+  for (int64_t k = 0; k < b; k++) {
+    G1 acc;
+    memset(&acc, 0, sizeof(acc));
+    for (int64_t wi = w - 1; wi >= 0; wi--) {
+      for (int64_t d = 0; d < window_bits; d++) g1_double(acc, acc);
+      const uint8_t* src = totals + (k * w + wi) * 144;
+      u64 X[6], Y[6], Z[6];
+      load6(X, src);
+      load6(Y, src + 48);
+      load6(Z, src + 96);
+      if (is_zero6(Z)) continue;  // window total = identity
+      G1 t;
+      u64 z2[6];
+      mont_mul<6>(t.x, X, Z, FQ);
+      mont_sqr<6>(z2, Z, FQ);
+      mont_mul<6>(t.y, Y, z2, FQ);
+      memcpy(t.z, Z, 48);
+      g1_add(acc, acc, t);
+    }
+    if (is_zero6(acc.z)) { out_inf[k] = 1; continue; }
+    out_inf[k] = 0;
+    u64 zi[6], zi2[6], t[6];
+    fq_inv(zi, acc.z);
+    mont_sqr<6>(zi2, zi, FQ);
+    mont_mul<6>(t, acc.x, zi2, FQ);
+    fq_from_mont(t, t);
+    store6(out_xy + k * 96, t);
+    mont_mul<6>(t, acc.y, zi2, FQ);
+    mont_mul<6>(t, t, zi, FQ);
+    fq_from_mont(t, t);
+    store6(out_xy + k * 96 + 48, t);
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Radix-2 NTT over Fr: in-place on n x 32B canonical LE values; natural
 // order in, natural order out (bit-reversal inside); root = primitive n-th
 // root (canonical LE).  Matches poly/domain.py::_fft_in_place.

@@ -13,8 +13,41 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Tests check exact modular arithmetic, not kernel speed: dropping the
+# XLA:CPU optimization level cuts LLVM codegen of the inlined 24-limb EC
+# graphs ~8-9x (one MSM jit: 563 s -> 64 s; one EC-add jit: 40 s -> 5 s,
+# measured on this 1-core host, where the persistent compile cache never
+# hits because the AOT loader rejects its own entries over pseudo machine
+# features).
+if "xla_backend_optimization_level" not in flags:
+    flags += (" --xla_backend_optimization_level=0"
+              " --xla_llvm_disable_expensive_passes=true")
+# XLA parses XLA_FLAGS when jaxlib LOADS — and the environment's
+# sitecustomize imports jax at interpreter startup, long before this
+# conftest runs, so mutating os.environ here is a no-op (measured: the
+# in-process setting leaves the 8x slower compiles).  Re-exec pytest ONCE
+# with the flags truly in the environment — from pytest_configure, after
+# stopping global capture (the capture plugin holds fds 1/2 redirected to
+# tmpfiles during conftest import; exec'ing there makes all output vanish).
+_NEED_REEXEC = (flags != os.environ.get("XLA_FLAGS", "")
+                and os.environ.get("DUSK_TEST_REEXEC") != "1")
+os.environ["XLA_FLAGS"] = flags
+
+
+def pytest_configure(config):
+    if not _NEED_REEXEC:
+        return
+    os.environ["DUSK_TEST_REEXEC"] = "1"
+    try:
+        cap = config.pluginmanager.getplugin("capturemanager")
+        if cap is not None:
+            cap.stop_global_capturing()
+    except Exception:
+        pass  # degraded: tests still run, output may be captured away
+    os.execvpe(sys.executable,
+               [sys.executable, "-m", "pytest"] + sys.argv[1:],
+               os.environ)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
