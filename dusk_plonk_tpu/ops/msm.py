@@ -4,8 +4,15 @@ TPU-first reformulation of bucket accumulation (the data-dependent
 scatter-add at the heart of Pippenger, which SIMD hardware cannot do
 directly — SURVEY.md §7 hard part #3):
 
-  1. 8-bit window digits are sliced from the scalar limbs: (W=32, N).
-  2. Per window, points are SORTED by digit (XLA sort is fast on TPU);
+  1. SIGNED 13-bit window digits are sliced from the scalar limbs
+     (W=20, N): digit d >= 2^12 becomes d - 2^13 with a +1 carry into the
+     next window, so |d| <= 2^12 and the bucket count halves while the
+     window count drops 32 -> 20 (the per-window sort+scan is the cost
+     floor: every (window, point) pair costs one EC add regardless of
+     window width, so wider windows win as long as the bucket reduction
+     stays cheap).  Negative digits negate the gathered point's y (one
+     Fq sub) instead of occupying buckets.
+  2. Per window, points are SORTED by |digit| (XLA sort is fast on TPU);
      equal digits become contiguous runs.
   3. An inclusive prefix scan of EC additions runs CHUNKED: the sorted
      sequence is reshaped (num_chunks, chunk_len) and lax.scan runs
@@ -13,11 +20,14 @@ directly — SURVEY.md §7 hard part #3):
      O(N) EC adds with full VPU occupancy (the complete-addition formula
      makes the combiner branch-free).  Layout is limb-major (ops/limb.py):
      scan-step operands are (Wg, L, nc) with the chunk axis in lanes.
-  4. Bucket sums are prefix differences at run boundaries, located with
-     searchsorted (no scatters anywhere).
-  5. The weighted bucket reduction sum(d * B_d) walks buckets from the top
-     (running += B_d; total += running) in one fori-free lax.scan.
-  6. Windows combine with c doublings per step inside one fori_loop.
+  4. The weighted bucket reduction telescopes: with P(t) the prefix-scan
+     value at sorted index t and t_d the last index with |digit| <= d
+     (searchsorted; no scatters anywhere),
+       sum_d d*B_d = NB*P(N-1) - sum_{d<NB} P(t_d)
+     — one contiguous gather of NB prefix points per window plus a
+     log-depth halving tree; empty buckets need no special case.
+  5. Windows combine with c doublings per step (host C++ engine when
+     available, one nested fori_loop on device otherwise).
 
 Reference equivalents: `PlonkParams::commit` / `msm_curve_addition`
 (usage reference src/prover.rs:133-136, src/prover/proof.rs:507).
@@ -37,9 +47,15 @@ from ..utils.tracing import tracer
 from .limb import fr_field, fq_field
 from .ec import device_g1
 
-WINDOW_BITS = 8
-NUM_WINDOWS = 32  # 256 / 8
-SUB = 16          # bucket-reduction split: 256 buckets = 16 hi x 16 lo
+MAX_WINDOW_BITS = 13   # 2^16-point MSMs: 20 windows x 4096 buckets
+
+
+def pick_window_bits(n: int) -> int:
+    """Window width minimizing W*(N + 2^(c-1)): scan work is W*N
+    regardless of c (one EC add per (window, point) pair), so c grows
+    with N until the per-window bucket reduction (~2^(c-1) lane-adds)
+    stops being negligible.  c ~ log2(N) - 4, clamped."""
+    return max(2, min(MAX_WINDOW_BITS, n.bit_length() - 4))
 
 
 class MsmPlan:
@@ -47,18 +63,29 @@ class MsmPlan:
     so one plan serves every polynomial committed against any SRS slice of
     the same padded length)."""
 
-    def __init__(self, n: int, window_group: int | None = None):
+    def __init__(self, n: int, window_group: int | None = None,
+                 window_bits: int | None = None):
         self.n = n
         self.G1 = device_g1()
         self.Fq = fq_field()
         self.Fr = fr_field()
         cfg = get_config()
+        c = window_bits if window_bits is not None else \
+            (cfg.msm_window_bits or pick_window_bits(n))
+        self.window_bits = c
+        # W = ceil(257/c): guarantees the top window's raw bits + the
+        # incoming signed-rewrite carry stay < 2^(c-1), so no carry ever
+        # leaves the last window (scalars are < 2^255)
+        self.num_windows = -(-257 // c)
+        self.nb = 1 << (c - 1)        # weighted reduction runs over
+                                      # |d| < nb; |d| = nb rides the
+                                      # nb*full_sum term
         if window_group is None:
             # cap gathered-point memory (config: msm_group_slots point-slots
             # per group)
             window_group = max(
-                1, min(NUM_WINDOWS, cfg.msm_group_slots // max(n, 1)))
-        while NUM_WINDOWS % window_group:
+                1, min(self.num_windows, cfg.msm_group_slots // max(n, 1)))
+        while self.num_windows % window_group:
             window_group -= 1
         self.wg = window_group
         self.chunk_len = min(cfg.msm_chunk_len, n)
@@ -78,56 +105,135 @@ class MsmPlan:
         self._msm_fn = jax.jit(self._msm_jit)
         self._msm_affine_fns = {}
         self._msm_totals_fns = {}
+        self._prep_fn = None
 
     # -- digit extraction ----------------------------------------------------
 
     def _digits(self, scalar_limbs):
-        """(16, N) uint32 16-bit limbs -> (W, N) int32 byte digits."""
-        lo = (scalar_limbs & 0xFF).astype(jnp.int32)
-        hi = ((scalar_limbs >> 8) & 0xFF).astype(jnp.int32)
-        # window 2j   = low byte of limb j; window 2j+1 = high byte
-        n = scalar_limbs.shape[-1]
-        return jnp.stack([lo, hi], axis=1).reshape(NUM_WINDOWS, n)
+        """(16, N) uint32 16-bit canonical limbs -> (W, N) int32 SIGNED
+        c-bit digits, |d| <= 2^(c-1): scalar = sum_w d_w * 2^(cw).
+        The signed rewrite (d >= 2^(c-1) -> d - 2^c, carry +1) is a
+        W-step static sweep of cheap int ops; W = ceil(257/c) keeps the
+        top window small enough to absorb the final carry."""
+        wb = self.window_bits
+        nl = scalar_limbs.shape[0]
+        mask = (1 << wb) - 1
+        zero = jnp.zeros_like(scalar_limbs[0]).astype(jnp.int32)
+        raw = []
+        for w in range(self.num_windows):
+            o = wb * w
+            i, s = o >> 4, o & 15
+            if i >= nl:              # windows past 256 bits (small c)
+                raw.append(zero)
+                continue
+            d = scalar_limbs[i] >> s
+            if s + wb > 16 and i + 1 < nl:
+                d = d | (scalar_limbs[i + 1] << (16 - s))
+            raw.append((d & mask).astype(jnp.int32))
+        half = 1 << (wb - 1)
+        out = []
+        carry = jnp.zeros_like(raw[0])
+        for w in range(self.num_windows):
+            t = raw[w] + carry
+            neg = t >= half
+            out.append(jnp.where(neg, t - 2 * half, t))
+            carry = neg.astype(jnp.int32)
+        return jnp.stack(out)                             # (W, N) signed
+
+    # -- element-major point table -------------------------------------------
+
+    def _build_em(self, px, py):
+        """(L, n) affine coord pairs -> MATERIALIZED (2*n_pad, 2L)
+        element-major table: row i = (x_i, y_i), row n_pad+i = (x_i, -y_i).
+        A limb-major (L, N)[:, order] gather copies L strided 4-byte words
+        per index (~7 GB/s effective, measured — random-access bound);
+        rows of this table are 2L contiguous words, and the digit sign
+        folds into the gather INDEX (a post-gather where(sign, neg(y), y)
+        on the (cl, L, lanes) result cost 37 ms of unfused XLA carry
+        chains per MSM, one neg of the (L, n) source is ~1 ms)."""
+        Fq = self.Fq
+        if self.n_pad != self.n:
+            pad = self.n_pad - self.n
+            gen = self.G1.generator_affine                # (L, 1) x2 numpy
+            px = jnp.concatenate(
+                [px, jnp.broadcast_to(gen[0], (px.shape[0], pad))], axis=-1)
+            py = jnp.concatenate(
+                [py, jnp.broadcast_to(gen[1], (py.shape[0], pad))], axis=-1)
+        em = jnp.concatenate([
+            jnp.concatenate([px, py], axis=0),
+            jnp.concatenate([px, Fq.neg(py)], axis=0)], axis=-1).T
+        # the barrier forces the transposed copy to MATERIALIZE: XLA
+        # otherwise fuses the transpose into the gather's operand and
+        # reads end up strided again (measured: no speedup without it)
+        return jax.lax.optimization_barrier(em)           # (2*n_pad, 2L)
+
+    def prepare_points(self, points):
+        """Stage a fixed point set (e.g. the SRS) as the element-major
+        device table ONCE; pass the result wherever `points` is accepted.
+        Skips ~25 ms of per-dispatch table rebuilding (neg + transpose)."""
+        if self._prep_fn is None:
+            self._prep_fn = jax.jit(self._build_em)
+        px, py, _ = points
+        return self._prep_fn(px, py)
+
+    @staticmethod
+    def _is_em(points):
+        """True if `points` is a prepared element-major table (2-D array
+        rather than the ((L,N),)*3 projective tuple)."""
+        return not isinstance(points, (tuple, list))
 
     # -- per-window-group kernel ------------------------------------------------
 
-    def _window_group_totals(self, px, py, digits):
-        """digits (Wg, N); points (L, N) STRICTLY AFFINE (z = 1; pads are
-        the generator with scalar 0) -> window totals (Wg, L, 1) x3.
+    def _window_group_totals(self, em, digits):
+        """digits (Wg, N) SIGNED; points (L, N) STRICTLY AFFINE (z = 1;
+        pads are the generator with scalar 0) come pre-staged as the
+        element-major table `em` (see _build_em) -> window totals
+        (Wg, L, 1) x3.
 
         All EC arithmetic runs on FLATTENED (L, lanes) arrays so the fused
         Pallas EC-add kernel fires (lanes = Wg*nc for the chunked prefix
         scan, Wg*nb for the bucket phase).  The prefix scan uses the
         11-mul complete MIXED addition (ops/ec.py add_mixed) — the table
-        operand is affine by construction — and gathers only x, y."""
+        operand is affine by construction — and gathers only x, y; a
+        negative digit negates the gathered y (one Fq sub + select)."""
         G1 = self.G1
+        Fq = self.Fq
         wg, n = digits.shape
         L = self.Fq.L
+        absd = jnp.abs(digits)                           # 0..4096
+        sign = (digits < 0).astype(jnp.int32)
         shift = (n - 1).bit_length()
-        if shift + WINDOW_BITS <= 31:
-            # pack (digit, index) into ONE int32 key: a single-operand
-            # sort beats argsort's two-operand comparator network ~2x on
-            # TPU (argsort lowers to a (key, iota) variadic sort AND a
-            # separate take_along_axis for the sorted digits)
+        if shift + self.window_bits + 1 <= 31:
+            # pack (|digit|, sign, index) into ONE int32 key: a
+            # single-operand sort beats argsort's two-operand comparator
+            # network ~2x on TPU (argsort lowers to a (key, iota)
+            # variadic sort AND a separate take_along_axis)
             iota = jax.lax.broadcasted_iota(jnp.int32, (wg, n), 1)
-            packed = jnp.bitwise_or(
-                jnp.left_shift(digits, shift), iota)
+            packed = jnp.bitwise_or(jnp.bitwise_or(
+                jnp.left_shift(absd, shift + 1),
+                jnp.left_shift(sign, shift)), iota)
             skey = jax.lax.sort(packed, dimension=-1)    # (Wg, N)
             order = jnp.bitwise_and(skey, (1 << shift) - 1)
-            sd = jnp.right_shift(skey, shift)
-        else:  # digit+index exceed 31 bits (domains >= 2^24)
-            order = jnp.argsort(digits, axis=-1)         # (Wg, N)
-            sd = jnp.take_along_axis(digits, order, axis=-1)
+            ssign = jnp.bitwise_and(
+                jnp.right_shift(skey, shift), 1)
+            sd = jnp.right_shift(skey, shift + 1)
+        else:  # |digit|+sign+index exceed 31 bits (domains >= 2^17)
+            order = jnp.argsort(absd, axis=-1)           # (Wg, N)
+            sd = jnp.take_along_axis(absd, order, axis=-1)
+            ssign = jnp.take_along_axis(sign, order, axis=-1)
 
         cl = self.chunk_len
         nc = n // cl
 
-        def gather_flat(c):
-            # (L, N)[:, order] -> (L, Wg, N) -> (L, Wg, nc, cl)
-            # -> (cl, L, Wg*nc): scan axis first, lanes flattened
-            g = c[:, order].reshape(L, wg, nc, cl)
-            return g.transpose(3, 0, 1, 2).reshape(cl, L, wg * nc)
-        xs = (gather_flat(px), gather_flat(py))
+        # element-major gather: each row is one point's 2L contiguous
+        # words; the (Wg, nc, cl, 2L) -> (cl, 2L, Wg*nc) transpose back
+        # is regular and rides at HBM bandwidth.  The digit sign selects
+        # the (x, -y) half of the table via the index.
+        g = jax.lax.optimization_barrier(
+            em[order + n * ssign])                       # (Wg, N, 2L)
+        g = g.reshape(wg, nc, cl, 2 * L).transpose(2, 3, 0, 1)
+        g = g.reshape(cl, 2 * L, wg * nc)
+        xs = (g[:, :L], g[:, L:])
         ident = G1.broadcast_identity((), wg * nc)       # (L, Wg*nc)
 
         def body(carry, x):
@@ -142,7 +248,6 @@ class MsmPlan:
         # old <128-lane sequential scan ran unfused and cost ~90 ms per
         # 2^16 MSM on the TPU.  Cross-window roll contamination lands only
         # on lanes with pos < shift, which the mask keeps unchanged.
-        ident_wg = G1.broadcast_identity((), wg)         # (L, Wg)
         if nc == 1:
             offsets = G1.broadcast_identity((), wg * nc)
         else:
@@ -161,109 +266,89 @@ class MsmPlan:
             offsets = jax.lax.fori_loop(
                 0, (nc - 1).bit_length(), hs_body, z0)   # (L, Wg*nc)
 
-        # locate bucket run boundaries
-        nb = 1 << WINDOW_BITS
-        buckets = jnp.arange(nb, dtype=jnp.int32)
+        # weighted bucket reduction via the TELESCOPING identity: with
+        # P(t) the inclusive prefix-scan value at sorted index t and
+        # t_d = last index with |digit| <= d (-1 if none),
+        #   sum_{d=1..NB} d*B_d = NB*P(N-1) - sum_{d=0..NB-1} P(t_d)
+        # (a bucket-e point appears in P(t_d) for every d >= e, so its
+        # coefficient is NB - (NB - e) = e; bucket-0/pad points cancel).
+        # One gather of NB prefix points per window + a log-depth halving
+        # tree replaces per-bucket diffs and the two skewed scans — and
+        # needs no empty-bucket or |d| = NB special cases at all.
+        NB = self.nb
+        buckets = jnp.arange(NB, dtype=jnp.int32)
 
-        def find(side):
-            return jax.vmap(
-                lambda row: jnp.searchsorted(row, buckets, side=side)
-            )(sd)                                        # (Wg, nb)
-        head = find("left")
-        tail = find("right") - 1
-        empty = (head > tail).reshape(wg * nb)           # (Wg*nb,)
+        tails = jax.vmap(
+            lambda row: jnp.searchsorted(row, buckets, side="right")
+        )(sd) - 1                                        # (Wg, NB)
 
         wg_ix = jnp.arange(wg, dtype=jnp.int32)[:, None]
 
+        # element-major copies for the prefix reads (same strided-gather
+        # trap as the point gather: each read wants one point = 3L
+        # contiguous words, not 3L strided rows)
+        lanes = wg * nc
+        ps_em = jax.lax.optimization_barrier(
+            jnp.concatenate(ps, axis=1).transpose(0, 2, 1).reshape(
+                cl * lanes, 3 * L))                      # (cl*lanes, 3L)
+        off_em = jax.lax.optimization_barrier(
+            jnp.concatenate(offsets, axis=0).T)          # (lanes, 3L)
+
         def ps_at(idx):
             """Prefix-scan value at index (Wg, M) -> (L, Wg*M) flat;
-            identity at -1.  ONE G1.add instantiation regardless of how
-            many index sets are folded into M (compile-size: each inlined
-            EC add is ~20k HLO ops — a second call site doubles it)."""
+            identity at -1.  ONE G1.add instantiation (compile-size: each
+            inlined EC add is ~20k HLO ops)."""
             m = idx.shape[-1]
             neg = (idx < 0).reshape(wg * m)
             safe = jnp.maximum(idx, 0)
             ci = safe // cl                              # (Wg, M)
             pi = (safe % cl).reshape(wg * m)
             flat_lane = (wg_ix * nc + ci).reshape(wg * m)
-            # ps: (cl, L, Wg*nc)[pi, :, flat_lane] -> (Wg*M, L) -> (L, .)
-            vals = tuple(c[pi, :, flat_lane].T for c in ps)
-            offs = tuple(c[:, flat_lane] for c in offsets)
+            vrows = jax.lax.optimization_barrier(
+                ps_em[pi * lanes + flat_lane]).T         # (Wg*M, 3L)
+            orows = jax.lax.optimization_barrier(
+                off_em[flat_lane]).T                     # (Wg*M, 3L)
+            vals = (vrows[:L], vrows[L:2 * L], vrows[2 * L:])
+            offs = (orows[:L], orows[L:2 * L], orows[2 * L:])
             summed = G1.add(vals, offs)
             ident_b = G1.broadcast_identity((), wg * m)
             return G1.select(neg, ident_b, summed)
 
-        # hi and lo prefix reads share the single ps_at instantiation
-        both = ps_at(jnp.concatenate([tail, head - 1], axis=-1))
-        b_hi = tuple(c.reshape(L, wg, 2 * nb)[..., :nb].reshape(L, wg * nb)
-                     for c in both)
-        b_lo = tuple(c.reshape(L, wg, 2 * nb)[..., nb:].reshape(L, wg * nb)
-                     for c in both)
-        bucket_sums = G1.add(b_hi, G1.neg(b_lo))         # (L, Wg*nb)
-        ident_b = G1.broadcast_identity((), wg * nb)
-        bucket_sums = G1.select(empty, ident_b, bucket_sums)
-        # weighted bucket reduction: total_w = sum_d d*B_d, two-level.
-        # With d = 16*hi + lo:
-        #   total = 16 * sum_hi hi*(sum_lo B) + sum_hi (sum_lo lo*B).
-        # Each level is a 16-step "skewed" scan whose ONE G1.add per step
-        # carries the accumulators as extra lanes: after k steps of
-        # (r, t) <- (r + x_j, t + r), t = sum_j (k-j)*x_j — so feeding
-        # x_j = B_{k-j} (buckets DESCENDING, bucket 0 last with weight 0)
-        # yields t = sum d*B_d and r = sum B_d exactly.  2*16+5 wide steps
-        # replace the old nb-1 = 255 sequential sub-128-lane steps.
-        assert nb == SUB * SUB
-        bs = tuple(c.reshape(L, wg, SUB, SUB) for c in bucket_sums)
+        # one shared ps_at call: NB tail reads + the full-sum read (N-1)
+        idx = jnp.concatenate(
+            [tails, jnp.full((wg, 1), n - 1, jnp.int32)], axis=-1)
+        pts_all = ps_at(idx)                             # (L, Wg*(NB+1))
+        grid = tuple(c.reshape(L, wg, NB + 1) for c in pts_all)
+        full_sum = tuple(c[..., NB] for c in grid)       # (L, Wg)
+        cur = tuple(c[..., :NB].reshape(L, wg * NB) for c in grid)
 
-        # level 1 over lo (digit minor): x_j = B[..., hi, 16-j]
-        lvl1 = tuple(
-            c[..., ::-1].transpose(3, 0, 1, 2).reshape(SUB, L, wg * SUB)
-            for c in bs)                                 # (16, L, Wg*16)
-        ident1 = G1.broadcast_identity((), wg * SUB)
+        # two-level radix-SUB serial sum over the bucket axis: each level
+        # is ONE lax.scan (one G1.add instantiation — a log-depth halving
+        # tree would inline 12 separate ~20k-HLO adds into the graph)
+        sa = 1 << ((self.window_bits - 1) // 2)
+        sb = NB // sa                                    # NB = sa * sb
+        t3 = tuple(c.reshape(L, wg, sa, sb) for c in cur)
+        lvl1 = tuple(c.transpose(3, 0, 1, 2).reshape(sb, L, wg * sa)
+                     for c in t3)
 
-        def skew2_body(carry, x):
-            r, t = carry
-            lhs = tuple(jnp.concatenate([rc, tc], axis=-1)
-                        for rc, tc in zip(r, t))
-            rhs = tuple(jnp.concatenate([xc, rc], axis=-1)
-                        for xc, rc in zip(x, r))
-            out = G1.add(lhs, rhs)                       # (L, 2*Wg*16)
-            half = out[0].shape[-1] // 2
-            return (tuple(c[..., :half] for c in out),
-                    tuple(c[..., half:] for c in out)), None
+        def sum_body(acc, x):
+            return G1.add(acc, x), None
 
-        (h_sum, s_sum), _ = jax.lax.scan(
-            skew2_body, (ident1, ident1), lvl1)          # (L, Wg*16) x2
-        # h_sum[hi] = sum_lo B_{hi,lo};  s_sum[hi] = sum_lo lo*B_{hi,lo}
+        acc1, _ = jax.lax.scan(
+            sum_body, G1.broadcast_identity((), wg * sa), lvl1)
+        lvl2 = tuple(c.reshape(L, wg, sa).transpose(2, 0, 1)
+                     for c in acc1)
 
-        # level 2 over hi: skewed scan on H (t = sum hi*H_hi) with a third
-        # accumulator lane plainly summing S: (r,t,s) <- (r+xH, t+r, s+xS)
-        lvl2_h = tuple(
-            c.reshape(L, wg, SUB)[..., ::-1].transpose(2, 0, 1)
-            for c in h_sum)                              # (16, L, Wg)
-        lvl2_s = tuple(
-            c.reshape(L, wg, SUB)[..., ::-1].transpose(2, 0, 1)
-            for c in s_sum)
+        def sum_body2(acc, x):
+            return G1.add(acc, x), None
 
-        def skew3_body(carry, x):
-            r, t, s = carry
-            xh, xs = x
-            lhs = tuple(jnp.concatenate([rc, tc, sc], axis=-1)
-                        for rc, tc, sc in zip(r, t, s))
-            rhs = tuple(jnp.concatenate([xc, rc, yc], axis=-1)
-                        for xc, rc, yc in zip(xh, r, xs))
-            out = G1.add(lhs, rhs)                       # (L, 3*Wg)
-            return (tuple(c[..., :wg] for c in out),
-                    tuple(c[..., wg:2 * wg] for c in out),
-                    tuple(c[..., 2 * wg:] for c in out)), None
+        cur, _ = jax.lax.scan(
+            sum_body2, G1.broadcast_identity((), wg), lvl2)   # (L, wg)
 
-        (_, hi_w, lo_tot), _ = jax.lax.scan(
-            skew3_body, (ident_wg, ident_wg, ident_wg),
-            (lvl2_h, lvl2_s))                            # (L, Wg) x3
-
-        # total = 16 * hi_w + lo_tot
-        acc16 = jax.lax.fori_loop(
-            0, 4, lambda i, a: G1.add(a, a), hi_w)
-        total = G1.add(acc16, lo_tot)
+        # total = NB * full_sum - sum_d P(t_d)
+        acc_nb = jax.lax.fori_loop(
+            0, NB.bit_length() - 1, lambda i, a: G1.add(a, a), full_sum)
+        total = G1.add(acc_nb, G1.neg(cur))
         return tuple(jnp.moveaxis(c, -1, 0)[..., None] for c in total)
 
     def _combine_windows(self, wx, wy, wz):
@@ -276,59 +361,53 @@ class MsmPlan:
 
         def body(w, acc):
             acc = jax.lax.fori_loop(
-                0, WINDOW_BITS, lambda j, a: G1.add(a, a), acc)
+                0, self.window_bits, lambda j, a: G1.add(a, a), acc)
             t = tuple(c[w] for c in (wx, wy, wz))
             return G1.add(acc, t)
         acc = jax.lax.fori_loop(
-            0, NUM_WINDOWS, body, self.G1.identity)
+            0, self.num_windows, body, self.G1.identity)
         return acc
 
     # -- public ------------------------------------------------------------------
 
-    def _msm_totals_jit(self, px, py, pz, scalar_limbs):
+    def _msm_totals_jit(self, em, scalar_limbs):
         """All the N-heavy work: -> LSB-first window totals (W, L, 1) x3
-        in projective Montgomery form.  Points must be AFFINE (z = 1,
-        no infinity): pads are the GENERATOR with scalar 0 — they sort
-        into bucket 0, which the weighted reduction never touches — so
-        the mixed-add scan's z2 = 1 precondition holds on every lane.
-        pz is accepted for call-site compatibility and ignored."""
-        del pz
+        in projective Montgomery form.  `em` is the prepared element-major
+        table (_build_em): points AFFINE (z = 1, no infinity), pads are
+        the GENERATOR with scalar 0 — they sort into bucket 0, which the
+        weighted reduction never touches — so the mixed-add scan's z2 = 1
+        precondition holds on every lane."""
         if self.n_pad != self.n:
             pad = self.n_pad - self.n
-            gen = self.G1.generator_affine                # (L, 1) x2 numpy
-            px = jnp.concatenate(
-                [px, jnp.broadcast_to(gen[0], (px.shape[0], pad))], axis=-1)
-            py = jnp.concatenate(
-                [py, jnp.broadcast_to(gen[1], (py.shape[0], pad))], axis=-1)
             scalar_limbs = jnp.concatenate(
                 [scalar_limbs, jnp.zeros((scalar_limbs.shape[0], pad),
                                          scalar_limbs.dtype)], axis=-1)
-        digits = self._digits(scalar_limbs)              # (32, n_pad)
+        digits = self._digits(scalar_limbs)              # (W, n_pad)
         totals = []
-        for g in range(0, NUM_WINDOWS, self.wg):
-            t = self._window_group_totals(px, py,
-                                          digits[g:g + self.wg])
+        for g in range(0, self.num_windows, self.wg):
+            t = self._window_group_totals(em, digits[g:g + self.wg])
             totals.append(t)
         wx = jnp.concatenate([t[0] for t in totals], axis=0)
         wy = jnp.concatenate([t[1] for t in totals], axis=0)
         wz = jnp.concatenate([t[2] for t in totals], axis=0)
         return wx, wy, wz
 
-    def _msm_jit(self, px, py, pz, scalar_limbs):
-        wx, wy, wz = self._msm_totals_jit(px, py, pz, scalar_limbs)
+    def _msm_jit(self, em, scalar_limbs):
+        wx, wy, wz = self._msm_totals_jit(em, scalar_limbs)
         # windows were emitted LSB-first; combine expects MSB-first
         return self._combine_windows(wx[::-1], wy[::-1], wz[::-1])
 
     def msm_device(self, points, scalar_limbs):
-        """points: ((L,N),(L,N),(L,N)) projective Montgomery (the packed
-        SRS slice); scalar_limbs: (16, N) canonical 16-bit limbs.
-        Returns a single projective device point (L, 1) x3."""
-        px, py, pz = points
+        """points: ((L,N),)*3 projective Montgomery (the packed SRS
+        slice) or a prepared element-major table (prepare_points);
+        scalar_limbs: (16, N) canonical 16-bit limbs.  Returns a single
+        projective device point (L, 1) x3."""
+        em = points if self._is_em(points) else self.prepare_points(points)
         tracer.count("msm_dispatch")
         tracer.count("msm_points", self.n)
-        return self._msm_fn(px, py, pz, scalar_limbs)
+        return self._msm_fn(em, scalar_limbs)
 
-    def _msm_affine_jit(self, px, py, pz, limbs_stack):
+    def _msm_affine_jit(self, em, limbs_stack):
         """limbs_stack (B, 16, N) -> canonical affine limbs (B, 2, L) +
         at-infinity flags (B,).  B sequential MSMs, the projective->affine
         division (Fermat inverse of Z) and the Montgomery->canonical
@@ -338,9 +417,8 @@ class MsmPlan:
         Fq = self.Fq
         # vmap, not a Python loop: the loop would inline B copies of the
         # MSM graph (B x the compile time); vmap batches each op instead
-        X, Y, Z = jax.vmap(self._msm_jit,
-                           in_axes=(None, None, None, 0))(
-            px, py, pz, limbs_stack)                 # (B, L, 1) each
+        X, Y, Z = jax.vmap(self._msm_jit, in_axes=(None, 0))(
+            em, limbs_stack)                         # (B, L, 1) each
         zinv = Fq.pow_const(Z, Fq.spec.modulus - 2)  # 0 stays 0
         ax = Fq.from_mont(Fq.mul(X, zinv))
         ay = Fq.from_mont(Fq.mul(Y, zinv))
@@ -355,6 +433,8 @@ class MsmPlan:
         with ONE dispatch and ONE fetch per group of <=4 (larger fused
         executables would multiply remote compile time)."""
         B = limbs_stack.shape[0]
+        points = points if self._is_em(points) else \
+            self.prepare_points(points)
         if B > self.MAX_FUSED_COMMITS:
             # pad to a multiple of the group size with zero scalars (the
             # pad rows commit to infinity, dropped below) so only ONE
@@ -372,16 +452,16 @@ class MsmPlan:
                 out.extend(self.msm_affine_batch(
                     points, limbs_stack[s:s + M]))
             return out[:B]
-        px, py, pz = points
+        em = points if self._is_em(points) else self.prepare_points(points)
         tracer.count("msm_dispatch")
         tracer.count("msm_points", self.n * B)
         from .. import native
         if native.has_combine_windows():
-            return self._start_host_combine(points, limbs_stack)()
+            return self._start_host_combine(em, limbs_stack)()
         fn = self._msm_affine_fns.get(B)
         if fn is None:
             fn = self._msm_affine_fns[B] = jax.jit(self._msm_affine_jit)
-        coords, inf = fn(px, py, pz, limbs_stack)
+        coords, inf = fn(em, limbs_stack)
         coords = np.asarray(jax.device_get(coords)).astype("<u2")
         inf = np.asarray(jax.device_get(inf))
         out = []
@@ -401,22 +481,21 @@ class MsmPlan:
         plus the affine conversion in the C++ engine in microseconds —
         the on-device combine was serial at lane-width B (unfused,
         ~130 ms per batch)."""
-        px, py, pz = points
+        em = points if self._is_em(points) else self.prepare_points(points)
         B = limbs_stack.shape[0]
         fn = self._msm_totals_fns.get(B)
         if fn is None:
             fn = self._msm_totals_fns[B] = jax.jit(
-                jax.vmap(self._msm_totals_jit,
-                         in_axes=(None, None, None, 0)))
+                jax.vmap(self._msm_totals_jit, in_axes=(None, 0)))
         from .. import native
-        wx, wy, wz = fn(px, py, pz, limbs_stack)         # (B, W, L, 1) x3
+        wx, wy, wz = fn(em, limbs_stack)                 # (B, W, L, 1) x3
 
         def fetch():
             arrs = [np.asarray(jax.device_get(c))[..., 0].astype("<u2")
                     for c in (wx, wy, wz)]               # (B, W, L) u16
             buf = np.stack(arrs, axis=2)                 # (B, W, 3, L)
             return native.g1_combine_windows(
-                buf.tobytes(), B, NUM_WINDOWS, WINDOW_BITS)
+                buf.tobytes(), B, self.num_windows, self.window_bits)
 
         return fetch
 
@@ -427,6 +506,8 @@ class MsmPlan:
         from .. import native
         if not native.has_combine_windows():
             return lambda: self.msm_affine_batch(points, limbs_stack)
+        points = points if self._is_em(points) else \
+            self.prepare_points(points)
         B = limbs_stack.shape[0]
         M = self.MAX_FUSED_COMMITS
         if B > M:

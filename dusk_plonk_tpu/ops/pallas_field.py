@@ -131,11 +131,10 @@ def _sub_borrow(a, b):
     return diff, borrow
 
 
-def emit_mont_mul(a, b, mod_col, np_col):
-    """In-kernel Montgomery mul on (L, T) value tiles (separated-operand
-    form, same math as LimbField.mul).  mod_col/np_col: (L, 1) values
-    (pallas kernels may not capture array constants — they ride as
-    inputs)."""
+def emit_mont_mul_sep(a, b, mod_col, np_col):
+    """In-kernel Montgomery mul, separated-operand form (three product
+    passes over a 2L+1-row workspace).  Kept as the differential oracle
+    for the CIOS emitter below; same signature."""
     L = a.shape[0]
     T = a.shape[1]
     # materialize the (L, 1) -> (L, T) broadcasts with an add: Mosaic
@@ -151,6 +150,43 @@ def emit_mont_mul(a, b, mod_col, np_col):
     hi = full[L:2 * L]
     diff, borrow = _sub_borrow(hi, mod)
     return jnp.where(borrow != 0, hi, diff)
+
+
+def emit_mont_mul(a, b, mod_col, np_col):
+    """In-kernel Montgomery mul on (L, T) value tiles — CIOS (coarsely
+    integrated operand scanning): the a*b product and the per-word
+    reduction interleave in ONE (L+1)-row accumulator, so every partial
+    product is a 25-row multiply instead of the separated form's 49-row
+    guard-space multiplies (~2x fewer vector ops; the multiplies and
+    lo/hi splits dominate the kernel).
+
+    Per outer word i: acc += a_i*b; m = (-acc_0/N)_16; acc += m*N; then
+    acc shifts one row down folding acc_0's carry (acc_0 = 0 mod 2^16 by
+    construction).  Lazy rows stay < 25*2^18 < 2^23 — one carry pass at
+    the end.  mod_col/np_col: (L, 1) values (pallas kernels may not
+    capture array constants — they ride as inputs); only row 0 of np_col
+    (= -N^-1 mod 2^16) is used."""
+    L = a.shape[0]
+    T = a.shape[1]
+    zrow = jnp.zeros((1, T), jnp.uint32)
+    z = jnp.zeros((L, T), jnp.uint32)
+    mod = mod_col + z
+    b_pad = jnp.concatenate([b, zrow], axis=0)             # (L+1, T)
+    n_pad = jnp.concatenate([mod, zrow], axis=0)           # (L+1, T)
+    n0 = np_col[0:1]                                       # (1, 1)
+    acc = jnp.zeros((L + 1, T), jnp.uint32)
+    for i in range(L):
+        p1 = a[i:i + 1] * b_pad                            # exact u32
+        acc = acc + (p1 & MASK16) + pltpu.roll(p1 >> 16, 1, axis=0)
+        m = ((acc[0:1] & MASK16) * n0) & MASK16
+        p2 = m * n_pad
+        acc = acc + (p2 & MASK16) + pltpu.roll(p2 >> 16, 1, axis=0)
+        # downshift: row 0 == 0 mod 2^16; fold its carry into the new row 0
+        new0 = acc[1:2] + (acc[0:1] >> 16)
+        acc = jnp.concatenate([new0, acc[2:], zrow], axis=0)
+    out = _carry(acc)[:L]      # value < 2p < 2^(16L): top row carried to 0
+    diff, borrow = _sub_borrow(out, mod)
+    return jnp.where(borrow != 0, out, diff)
 
 
 def emit_add_mod(a, b, mod):

@@ -11,7 +11,7 @@ Two local tiers share the identical collective structure (and produce
 identical group elements — EC arithmetic is exact):
 
 * ``pippenger`` — the production path: each shard runs the full sort-based
-  window/bucket machinery of ops/msm.py on its n/D points and emits 32
+  window/bucket machinery of ops/msm.py on its n/D points and emits W
   window totals; the all-gathered (D, B*32) totals are scan-reduced and the
   windows combined per commit.
 * ``bit_serial`` — compile-lean tier for the 1-core XLA:CPU test mesh and
@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.limb import fr_field, fq_field
 from ..ops.ec import device_g1
-from ..ops.msm import MsmPlan, NUM_WINDOWS, WINDOW_BITS
+from ..ops.msm import MsmPlan
 from ..utils.tracing import tracer
 
 
@@ -87,35 +87,32 @@ class ShardedMsm:
         machinery instantiates once per window group, not per commit."""
         G1, plan = self.G1, self.plan
         G = limbs.shape[0]
-        # per-shard generator padding with scalar 0 (lands in dropped
-        # bucket 0): the mixed-add scan needs every point strictly affine
+        # per-shard element-major table (_build_em pads with the
+        # generator at scalar 0: lands in dropped bucket 0, and the
+        # mixed-add scan keeps every lane strictly affine)
+        em = plan._build_em(px, py)
         if plan.n_pad != plan.n:
             pad = plan.n_pad - plan.n
-            gen = G1.generator_affine
-            px = jnp.concatenate(
-                [px, jnp.broadcast_to(gen[0], (px.shape[0], pad))], axis=-1)
-            py = jnp.concatenate(
-                [py, jnp.broadcast_to(gen[1], (py.shape[0], pad))], axis=-1)
             limbs = jnp.concatenate(
                 [limbs, jnp.zeros((G, limbs.shape[1], pad), limbs.dtype)],
                 axis=-1)
         digits = jnp.concatenate(
-            [plan._digits(limbs[g]) for g in range(G)], axis=0)  # (G*32, np)
+            [plan._digits(limbs[g]) for g in range(G)], axis=0)  # (G*W, np)
         totals = []
-        for s in range(0, G * NUM_WINDOWS, plan.wg):
+        for s in range(0, G * plan.num_windows, plan.wg):
             totals.append(plan._window_group_totals(
-                px, py, digits[s:s + plan.wg]))
-        wx = jnp.concatenate([t[0] for t in totals], axis=0)  # (G*32, L, 1)
+                em, digits[s:s + plan.wg]))
+        wx = jnp.concatenate([t[0] for t in totals], axis=0)  # (G*W, L, 1)
         wy = jnp.concatenate([t[1] for t in totals], axis=0)
         wz = jnp.concatenate([t[2] for t in totals], axis=0)
-        gx = jax.lax.all_gather(wx, self.axis)                 # (D, G*32, ..)
+        gx = jax.lax.all_gather(wx, self.axis)                 # (D, G*W, ..)
         gy = jax.lax.all_gather(wy, self.axis)
         gz = jax.lax.all_gather(wz, self.axis)
         sx, sy, sz = _scan_reduce_axis0(self.G1, (gx, gy, gz))
 
         def one(c):
             # (G*32, L, 1) -> per-commit MSB-first window stacks
-            return c.reshape(G, NUM_WINDOWS, self.Fq.L, 1)[:, ::-1]
+            return c.reshape(G, plan.num_windows, self.Fq.L, 1)[:, ::-1]
 
         cx, cy, cz = one(sx), one(sy), one(sz)
         outs = jax.vmap(plan._combine_windows)(cx, cy, cz)     # (G, L, 1) x3

@@ -44,7 +44,7 @@ from jax import shard_map
 from ..ops.ntt import ntt_plan
 from ..ops.limb import fr_field
 from ..ops.ec import device_g1
-from ..ops.msm import MsmPlan, NUM_WINDOWS
+from ..ops.msm import MsmPlan
 
 
 def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
@@ -52,7 +52,7 @@ def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
 
     points ((N,L),(N,L),(N,L)) and scalar_limbs (N,16) are sharded on the
     leading axis; each device accumulates buckets for its shard, window
-    totals (3 x (32, L) uint32 — a few KB) are all-gathered and EC-reduced
+    totals (3 x (W, L) uint32 — a few KB) are all-gathered and EC-reduced
     on every device (redundantly — cheaper than a second collective).
     Returns one replicated projective point.
     """
@@ -61,11 +61,13 @@ def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
     G1 = device_g1()
 
     def body(px, py, pz, limbs):
+        del pz
+        em = plan._build_em(px, py)
         digits = plan._digits(limbs)
         totals = []
-        for g in range(0, NUM_WINDOWS, plan.wg):
+        for g in range(0, plan.num_windows, plan.wg):
             totals.append(plan._window_group_totals(
-                px, py, pz, digits[g:g + plan.wg]))
+                em, digits[g:g + plan.wg]))
         wx = jnp.concatenate([t[0] for t in totals], axis=0)  # (32, L, 1)
         wy = jnp.concatenate([t[1] for t in totals], axis=0)
         wz = jnp.concatenate([t[2] for t in totals], axis=0)
@@ -73,7 +75,7 @@ def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
         gy = jax.lax.all_gather(wy, axis)
         gz = jax.lax.all_gather(wz, axis)
         sx, sy, sz = _scan_reduce(G1, (gx, gy, gz))           # (32, L, 1)
-        # combine windows MSB-first: acc = 2^8 acc + T_w
+        # combine windows MSB-first: acc = 2^c acc + T_w
         return plan._combine_windows(sx[::-1], sy[::-1], sz[::-1])
 
     px, py, pz = points

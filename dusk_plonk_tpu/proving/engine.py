@@ -118,6 +118,7 @@ class DeviceEngine:
             self.ns = srs[0].shape[-1]
             self.nsd = self._device_width(self.ns)
             self.msm = msm if msm is not None else MsmPlan(self.ns)
+        self._srs_em = None
 
         # --- key polynomials on device (n-degree coefficient form) ---------
         if sel_polys is None:
@@ -543,15 +544,24 @@ class DeviceEngine:
 
     # -- helpers ----------------------------------------------------------------
 
+    def _srs_points(self):
+        """SRS staged for commits: the element-major table, prepared ONCE
+        (lazily — the mesh subclass overrides the commit paths and never
+        calls this).  Rebuilding it per dispatch cost ~25 ms (measured)."""
+        if self._srs_em is None:
+            self._srs_em = self.msm.prepare_points(self.srs)
+        return self._srs_em
+
     def _commit(self, canon_coeffs):
         """canon_coeffs (16, ns) -> affine host point."""
-        return self.msm.msm_affine_batch(self.srs, canon_coeffs[None])[0]
+        return self.msm.msm_affine_batch(
+            self._srs_points(), canon_coeffs[None])[0]
 
     def _commit_batch(self, canon_stack):
         """(B, 16, ns) canon stack -> B affine points: B MSMs + affine
         conversion fused into ONE dispatch + ONE fetch (each dispatch+
         fetch cycle costs ~30 ms on the tunneled backend)."""
-        return self.msm.msm_affine_batch(self.srs, canon_stack)
+        return self.msm.msm_affine_batch(self._srs_points(), canon_stack)
 
     def _commit_batch_async(self, canon_stack):
         """Dispatch the commit batch now, fetch later: returns a thunk.
@@ -561,7 +571,7 @@ class DeviceEngine:
         start = getattr(self.msm, "msm_affine_batch_start", None)
         if start is None:
             return lambda: self._commit_batch(canon_stack)
-        return start(self.srs, canon_stack)
+        return start(self._srs_points(), canon_stack)
 
     def _round3_compute(self, tb, wire_polys, z_poly, pi_dense, ch):
         """Challenges -> t(X) coefficients (8n).

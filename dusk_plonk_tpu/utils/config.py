@@ -14,7 +14,8 @@ from dataclasses import dataclass, replace
 @dataclass(frozen=True)
 class TpuPlonkConfig:
     # --- MSM (ops/msm.py) -------------------------------------------------
-    msm_window_bits: int = 8        # Pippenger window width
+    msm_window_bits: int | None = None  # Pippenger window width override
+                                    # (None = size-adaptive, ops/msm.py)
     msm_chunk_len: int = 256        # sequential depth of the bucket scan
                                     # (halving it doubles the scan lanes;
                                     # 256 beat 512 by ~30% at 2^16 once the
