@@ -4,14 +4,14 @@ TPU-first reformulation of bucket accumulation (the data-dependent
 scatter-add at the heart of Pippenger, which SIMD hardware cannot do
 directly — SURVEY.md §7 hard part #3):
 
-  1. SIGNED 13-bit window digits are sliced from the scalar limbs
-     (W=20, N): digit d >= 2^12 becomes d - 2^13 with a +1 carry into the
-     next window, so |d| <= 2^12 and the bucket count halves while the
-     window count drops 32 -> 20 (the per-window sort+scan is the cost
-     floor: every (window, point) pair costs one EC add regardless of
-     window width, so wider windows win as long as the bucket reduction
-     stays cheap).  Negative digits negate the gathered point's y (one
-     Fq sub) instead of occupying buckets.
+  1. SIGNED c-bit window digits are sliced from the scalar limbs (c
+     size-adaptive, 13 at production sizes -> W=20 windows): digit
+     d >= 2^(c-1) becomes d - 2^c with a +1 carry into the next window,
+     so |d| <= 2^(c-1) and the bucket count halves (the per-window
+     sort+scan is the cost floor: every (window, point) pair costs one
+     EC add regardless of window width, so wider windows win as long as
+     the bucket reduction stays cheap).  Negative digits select the
+     (x, -y) half of the point table via the gather index.
   2. Per window, points are SORTED by |digit| (XLA sort is fast on TPU);
      equal digits become contiguous runs.
   3. An inclusive prefix scan of EC additions runs CHUNKED: the sorted
@@ -28,6 +28,11 @@ directly — SURVEY.md §7 hard part #3):
      log-depth halving tree; empty buckets need no special case.
   5. Windows combine with c doublings per step (host C++ engine when
      available, one nested fori_loop on device otherwise).
+
+Tiny point counts (<= config.msm_serial_max) route to a bit-serial
+double-and-add tier instead: one EC-add instantiation vs the pipeline's
+~seven, keeping XLA:CPU test-host compiles bounded (the tiers differ only
+in schedule, never in any group element).
 
 Reference equivalents: `PlonkParams::commit` / `msm_curve_addition`
 (usage reference src/prover.rs:133-136, src/prover/proof.rs:507).
@@ -102,10 +107,17 @@ class MsmPlan:
         # ONE jitted executable for the whole MSM: every eager op on the
         # axon backend costs ~120 ms (separate remote execution), so the
         # padding/digit/combine glue must live inside the jit
+        # compile-lean bit-serial tier for tiny point counts: the full
+        # sort/gather/bucket pipeline inlines ~7 EC-add instantiations
+        # (~1-2 min of XLA:CPU compile PER PLAN SIZE on the 1-core test
+        # host); MSB-first double-and-add needs ONE, and at n <= 512 the
+        # 512-step ladder's execution cost is trivial on any backend
+        self.serial = self.n_pad <= cfg.msm_serial_max
         self._msm_fn = jax.jit(self._msm_jit)
         self._msm_affine_fns = {}
         self._msm_totals_fns = {}
         self._prep_fn = None
+        self._serial_fn = None
 
     # -- digit extraction ----------------------------------------------------
 
@@ -170,7 +182,10 @@ class MsmPlan:
     def prepare_points(self, points):
         """Stage a fixed point set (e.g. the SRS) as the element-major
         device table ONCE; pass the result wherever `points` is accepted.
-        Skips ~25 ms of per-dispatch table rebuilding (neg + transpose)."""
+        Skips ~25 ms of per-dispatch table rebuilding (neg + transpose).
+        The serial tier consumes raw coordinate tuples: no-op there."""
+        if self.serial:
+            return points
         if self._prep_fn is None:
             self._prep_fn = jax.jit(self._build_em)
         px, py, _ = points
@@ -402,10 +417,21 @@ class MsmPlan:
         slice) or a prepared element-major table (prepare_points);
         scalar_limbs: (16, N) canonical 16-bit limbs.  Returns a single
         projective device point (L, 1) x3."""
+        if self.serial:
+            px, py, pz = points
+            return tuple(
+                c[0] for c in self._serial_proj_jit_wrapped(
+                    px, py, pz, scalar_limbs[None]))
         em = points if self._is_em(points) else self.prepare_points(points)
         tracer.count("msm_dispatch")
         tracer.count("msm_points", self.n)
         return self._msm_fn(em, scalar_limbs)
+
+    @property
+    def _serial_proj_jit_wrapped(self):
+        if not hasattr(self, "_serial_proj_cached"):
+            self._serial_proj_cached = jax.jit(self._serial_proj_jit)
+        return self._serial_proj_cached
 
     def _msm_affine_jit(self, em, limbs_stack):
         """limbs_stack (B, 16, N) -> canonical affine limbs (B, 2, L) +
@@ -425,6 +451,83 @@ class MsmPlan:
         inf = jnp.all(Z == 0, axis=(-2, -1))         # (B,)
         return jnp.stack([ax[..., 0], ay[..., 0]], axis=1), inf
 
+    # -- bit-serial tier (tiny plans) ------------------------------------
+
+    def _serial_proj_jit(self, px, py, pz, limbs_stack):
+        """(B, 16, n) canonical limbs -> per-commit projective
+        (B, L, 1) x3 with ONE EC-add instantiation: MSB-first
+        double-and-add, commits folded into the lane axis (mirrors
+        parallel/msm.py::_body_bit_serial)."""
+        G1 = self.G1
+        L = self.Fq.L
+        B, _, n = limbs_stack.shape
+        lanes = B * n
+        lim = jnp.transpose(limbs_stack, (1, 0, 2)).reshape(16, lanes)
+        P3 = tuple(jnp.tile(c, (1, B)) for c in (px, py, pz))
+        ident = G1.broadcast_identity((), lanes)
+        acc = ident
+
+        def step(i, acc):
+            b = 255 - i // 2
+            is_dbl = jnp.broadcast_to(i % 2 == 0, (lanes,))
+            limb = jax.lax.dynamic_index_in_dim(lim, b // 16, 0,
+                                                keepdims=False)
+            bit = (limb >> (b % 16).astype(jnp.uint32)) & 1
+            other = G1.select(is_dbl, acc,
+                              G1.select(bit == 1, P3, ident))
+            return G1.add(acc, other)
+
+        acc = jax.lax.fori_loop(0, 512, step, acc)        # (L, B*n)
+        rows = tuple(c.reshape(L, B, n).transpose(2, 0, 1) for c in acc)
+
+        def sum_body(a, x):
+            return G1.add(a, x), None
+
+        out, _ = jax.lax.scan(
+            sum_body, G1.broadcast_identity((), B), rows)  # (L, B)
+        return tuple(jnp.moveaxis(c, -1, 0)[..., None] for c in out)
+
+    def _serial_affine_jit(self, px, py, pz, limbs_stack):
+        Fq = self.Fq
+        X, Y, Z = self._serial_proj_jit(px, py, pz, limbs_stack)
+        zinv = Fq.pow_const(Z, Fq.spec.modulus - 2)  # 0 stays 0
+        ax = Fq.from_mont(Fq.mul(X, zinv))
+        ay = Fq.from_mont(Fq.mul(Y, zinv))
+        inf = jnp.all(Z == 0, axis=(-2, -1))         # (B,)
+        return jnp.stack([ax[..., 0], ay[..., 0]], axis=1), inf
+
+    SERIAL_GROUP = 4
+
+    def _serial_batch(self, points, limbs_stack):
+        """Serial-tier msm_affine_batch: every call pads to ONE batch
+        shape so exactly one executable compiles per plan size."""
+        px, py, pz = points
+        B = limbs_stack.shape[0]
+        M = self.SERIAL_GROUP
+        pad = (-B) % M
+        if pad:
+            limbs_stack = jnp.concatenate(
+                [limbs_stack, jnp.zeros((pad,) + limbs_stack.shape[1:],
+                                        limbs_stack.dtype)], axis=0)
+        if self._serial_fn is None:
+            self._serial_fn = jax.jit(self._serial_affine_jit)
+        out = []
+        for s in range(0, B + pad, M):
+            tracer.count("msm_dispatch")
+            tracer.count("msm_points", self.n * M)
+            coords, inf = self._serial_fn(px, py, pz,
+                                          limbs_stack[s:s + M])
+            coords = np.asarray(jax.device_get(coords)).astype("<u2")
+            infh = np.asarray(jax.device_get(inf))
+            for b in range(M):
+                if infh[b]:
+                    out.append(None)
+                else:
+                    out.append((
+                        int.from_bytes(coords[b, 0].tobytes(), "little"),
+                        int.from_bytes(coords[b, 1].tobytes(), "little")))
+        return out[:B]
+
     MAX_FUSED_COMMITS = 4
 
     def msm_affine_batch(self, points, limbs_stack):
@@ -432,6 +535,8 @@ class MsmPlan:
         Returns a list of B affine host points ((x, y) ints or None),
         with ONE dispatch and ONE fetch per group of <=4 (larger fused
         executables would multiply remote compile time)."""
+        if self.serial:
+            return self._serial_batch(points, limbs_stack)
         B = limbs_stack.shape[0]
         points = points if self._is_em(points) else \
             self.prepare_points(points)
@@ -504,7 +609,7 @@ class MsmPlan:
         host round trip overlap the MSM's device time.  Falls back to a
         plain deferred call when the native combine engine is absent."""
         from .. import native
-        if not native.has_combine_windows():
+        if self.serial or not native.has_combine_windows():
             return lambda: self.msm_affine_batch(points, limbs_stack)
         points = points if self._is_em(points) else \
             self.prepare_points(points)

@@ -21,6 +21,11 @@ class TpuPlonkConfig:
                                     # 256 beat 512 by ~30% at 2^16 once the
                                     # chunk-offset pass went log-depth)
     msm_group_slots: int = 1 << 22  # point-slot cap per window group
+    msm_serial_max: int = 512       # n_pad at or below: bit-serial tier
+                                    # (ONE EC-add instantiation; the full
+                                    # sort/gather/bucket pipeline costs
+                                    # minutes of XLA:CPU compile per size
+                                    # on the 1-core test host)
 
     # --- Pallas kernels (ops/pallas_field.py) ----------------------------
     mul_tile: int = 1024            # Montgomery-mul lane tile
