@@ -12,8 +12,8 @@ identical group elements — EC arithmetic is exact):
 
 * ``pippenger`` — the production path: each shard runs the full sort-based
   window/bucket machinery of ops/msm.py on its n/D points and emits W
-  window totals; the all-gathered (D, B*32) totals are scan-reduced and the
-  windows combined per commit.
+  window totals per commit; the all-gathered (D, G*W) totals are
+  scan-reduced and the windows combined per commit.
 * ``bit_serial`` — compile-lean tier for the 1-core XLA:CPU test mesh and
   the driver dry-run: MSB-first double-and-add with ONE EC-add
   instantiation; shards emit one partial point each.

@@ -58,23 +58,23 @@ def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
     """
     n_local = points[0].shape[-1] // mesh.shape[axis]
     plan = MsmPlan(n_local)
+    if plan.serial:
+        # tier dispatch, mirroring parallel/msm.py ShardedMsm: below
+        # msm_serial_max points per shard the full sort/bucket pipeline
+        # is all compile cost and no win (its shard_map graph took >50
+        # min of 1-core XLA:CPU compile at n_local=4, measured); the
+        # bit-serial ladder is the same group math with ONE EC-add
+        # instantiation
+        return msm_bit_serial(mesh, axis, points, scalar_limbs)
     G1 = device_g1()
 
     def body(px, py, pz, limbs):
         del pz
-        em = plan._build_em(px, py)
-        digits = plan._digits(limbs)
-        totals = []
-        for g in range(0, plan.num_windows, plan.wg):
-            totals.append(plan._window_group_totals(
-                em, digits[g:g + plan.wg]))
-        wx = jnp.concatenate([t[0] for t in totals], axis=0)  # (32, L, 1)
-        wy = jnp.concatenate([t[1] for t in totals], axis=0)
-        wz = jnp.concatenate([t[2] for t in totals], axis=0)
-        gx = jax.lax.all_gather(wx, axis)                     # (D, 32, L, 1)
+        wx, wy, wz = _local_window_totals(plan, px, py, limbs)
+        gx = jax.lax.all_gather(wx, axis)                     # (D, W, L, 1)
         gy = jax.lax.all_gather(wy, axis)
         gz = jax.lax.all_gather(wz, axis)
-        sx, sy, sz = _scan_reduce(G1, (gx, gy, gz))           # (32, L, 1)
+        sx, sy, sz = _scan_reduce(G1, (gx, gy, gz))           # (W, L, 1)
         # combine windows MSB-first: acc = 2^c acc + T_w
         return plan._combine_windows(sx[::-1], sy[::-1], sz[::-1])
 
@@ -87,6 +87,33 @@ def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
         out_specs=(spec_out, spec_out, spec_out),
         check_vma=False)
     return fn(px, py, pz, scalar_limbs)
+
+
+def _local_window_totals(plan, px, py, limbs):
+    """One shard's Pippenger window totals (W, L, 1) x3.
+
+    Digits must cover the SAME padded length as the element-major table:
+    _window_group_totals derives the negative-half gather offset from
+    digits.shape[1], and the (x, -y) rows start at n_pad.  Pad scalars are
+    zero -> bucket 0, which the weighted reduction drops (mirrors
+    ShardedMsm._body_pippenger).  Unit-tested directly at an n_pad != n
+    shard size in tests/test_multichip.py (advisor r3 high)."""
+    import jax.numpy as jnp
+    em = plan._build_em(px, py)
+    if plan.n_pad != plan.n:
+        pad = plan.n_pad - plan.n
+        limbs = jnp.concatenate(
+            [limbs, jnp.zeros((limbs.shape[0], pad), limbs.dtype)],
+            axis=-1)
+    digits = plan._digits(limbs)
+    totals = []
+    for g in range(0, plan.num_windows, plan.wg):
+        totals.append(plan._window_group_totals(
+            em, digits[g:g + plan.wg]))
+    wx = jnp.concatenate([t[0] for t in totals], axis=0)      # (W, L, 1)
+    wy = jnp.concatenate([t[1] for t in totals], axis=0)
+    wz = jnp.concatenate([t[2] for t in totals], axis=0)
+    return wx, wy, wz
 
 
 def _scan_reduce(G1, pts):

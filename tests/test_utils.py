@@ -7,7 +7,8 @@ from dusk_plonk_tpu.utils.tracing import Tracer, tracer
 
 def test_config_defaults_and_override():
     cfg = get_config()
-    assert cfg.msm_window_bits == 8
+    # size-adaptive by default: None -> pick_window_bits(n) per plan
+    assert cfg.msm_window_bits is None
     assert cfg.mul_tile == 1024
     assert cfg.ec_tile == 128
     try:
@@ -22,6 +23,22 @@ def test_config_defaults_and_override():
             pass
     finally:
         set_config(msm_chunk_len=512)
+
+
+def test_pick_window_bits_and_override_validation():
+    from dusk_plonk_tpu.ops.msm import pick_window_bits, MsmPlan
+
+    assert pick_window_bits(32) == 2            # clamped low
+    assert pick_window_bits(1 << 16) == 13      # clamped at MAX_WINDOW_BITS
+    assert pick_window_bits(1 << 12) == 9
+    # manual overrides outside the two-limb digit-slicing range must be
+    # rejected loudly, not silently drop scalar bits
+    for bad in (1, 17, 32):
+        try:
+            MsmPlan(64, window_bits=bad)
+            assert False, f"window_bits={bad} must raise"
+        except ValueError:
+            pass
 
 
 def test_tracer_spans_and_counters():
