@@ -257,7 +257,17 @@ def bench_proof():
         proof, pis = prover.create_proof(rng, BenchCircuit(3))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    verifier.verify(proof, pis)
+    vtimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        verifier.verify(proof, pis)
+        vtimes.append(time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "verify_ms",
+        "value": round(min(vtimes) * 1e3, 2),
+        "unit": "milliseconds",
+        "vs_baseline": round(7.643 / (min(vtimes) * 1e3), 3),
+    }), file=sys.stderr, flush=True)
 
     # per-round breakdown of the LAST timed proof (VERDICT r1 weak #2:
     # publish where the time goes)

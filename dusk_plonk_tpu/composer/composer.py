@@ -60,6 +60,10 @@ class Plonk:
         self.instance: dict[int, int] = {}
         self.witness: list[int] = []
         self.perm = Permutation()
+        # columnar wire-index mirror of self.constraints, filled by
+        # append_custom_gate: the prover packs 4*n wire VALUES per proof,
+        # and per-constraint attribute walks cost ~0.1 s at 2^16 gates
+        self.wire_cols = ([], [], [], [])          # w_a, w_b, w_o, w_d
 
     # -- core (src/lib.rs:121-267) -------------------------------------------
 
@@ -98,7 +102,22 @@ class Plonk:
         self.constraints.append(c)
         if c.public_input is not None:
             self.instance[n] = c.public_input
+        wa, wb, wo, wd = self.wire_cols
+        wa.append(c.w_a)
+        wb.append(c.w_b)
+        wo.append(c.w_o)
+        wd.append(c.w_d)
         self.perm.add_witnesses_to_map(c.w_a, c.w_b, c.w_o, c.w_d, n)
+
+    def wire_values(self, n: int) -> list[int]:
+        """Flat [a values.. 0-pad to n, b.., o.., d..] for the round-1
+        wire tables (reference gathers per gate, src/prover.rs:109-119)."""
+        w = self.witness
+        out = []
+        for col in self.wire_cols:
+            out.extend([w[i] for i in col])
+            out.extend([0] * (n - len(col)))
+        return out
 
     def append_gate(self, c: Constraint) -> None:
         """Arithmetic gate: q_m·a·b + q_l·a + q_r·b + q_o·o + q_4·d + q_c

@@ -77,6 +77,11 @@ class MsmPlan:
         cfg = get_config()
         c = window_bits if window_bits is not None else \
             (cfg.msm_window_bits or pick_window_bits(n))
+        if not 2 <= c <= 16:
+            raise ValueError(
+                f"msm window_bits must be in [2, 16], got {c}: _digits "
+                "reads at most two 16-bit limbs per window, so wider "
+                "windows would silently drop scalar bits")
         self.window_bits = c
         # W = ceil(257/c): guarantees the top window's raw bits + the
         # incoming signed-rewrite carry stay < 2^(c-1), so no carry ever
@@ -248,13 +253,23 @@ class MsmPlan:
             em[order + n * ssign])                       # (Wg, N, 2L)
         g = g.reshape(wg, nc, cl, 2 * L).transpose(2, 3, 0, 1)
         g = g.reshape(cl, 2 * L, wg * nc)
-        xs = (g[:, :L], g[:, L:])
-        ident = G1.broadcast_identity((), wg * nc)       # (L, Wg*nc)
+        from .limb import _pallas_wanted
+        lanes0 = wg * nc
+        if _pallas_wanted() and lanes0 % get_config().ec_tile == 0:
+            # whole chunk scan in ONE pallas launch (VMEM-carried
+            # accumulator): the per-step XLA scan below costs ~55 ms per
+            # 2^16 MSM against a ~21 ms VPU floor (launch + carry HBM
+            # round-trip per step)
+            from . import pallas_field as pf
+            ps = pf.ec_scan_mixed(g)                     # (cl, L, Wg*nc) x3
+        else:
+            xs = (g[:, :L], g[:, L:])
+            ident = G1.broadcast_identity((), lanes0)    # (L, Wg*nc)
 
-        def body(carry, x):
-            nxt = G1.add_mixed(carry, x)
-            return nxt, nxt
-        _, ps = jax.lax.scan(body, ident, xs)            # (cl, L, Wg*nc) x3
+            def body(carry, x):
+                nxt = G1.add_mixed(carry, x)
+                return nxt, nxt
+            _, ps = jax.lax.scan(body, ident, xs)        # (cl, L, Wg*nc) x3
 
         # chunk offsets: EXCLUSIVE prefix of the chunk totals along nc, per
         # window.  Rolled Hillis-Steele in a fori_loop (ONE G1.add
@@ -346,11 +361,18 @@ class MsmPlan:
         lvl1 = tuple(c.transpose(3, 0, 1, 2).reshape(sb, L, wg * sa)
                      for c in t3)
 
-        def sum_body(acc, x):
-            return G1.add(acc, x), None
+        if _pallas_wanted() and (wg * sa) % get_config().ec_tile == 0:
+            # level-1 bucket sum in ONE launch (same rationale as the
+            # chunk scan above: sb sequential XLA steps cost launch +
+            # carry HBM round-trips each)
+            from . import pallas_field as pf
+            acc1 = pf.ec_sum_steps(jnp.concatenate(lvl1, axis=1))
+        else:
+            def sum_body(acc, x):
+                return G1.add(acc, x), None
 
-        acc1, _ = jax.lax.scan(
-            sum_body, G1.broadcast_identity((), wg * sa), lvl1)
+            acc1, _ = jax.lax.scan(
+                sum_body, G1.broadcast_identity((), wg * sa), lvl1)
         lvl2 = tuple(c.reshape(L, wg, sa).transpose(2, 0, 1)
                      for c in acc1)
 

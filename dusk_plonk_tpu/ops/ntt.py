@@ -77,6 +77,30 @@ class NttPlan:
         g = FR_GENERATOR
         g_inv = pow(g, -1, R_MOD)
 
+        # MXU four-step mode: the twiddle "tables" become a dict of digit-
+        # plane DFT matrices + the mid twiddle (ops/mxu_ntt.py); direction
+        # is still encoded in the table VALUES, so one executable serves
+        # dft/idft/coset variants exactly like the ladder path.
+        from ..utils.config import get_config as _gc
+        from .limb import _pallas_wanted
+        from . import mxu_ntt
+        cfg = _gc()
+        self.mxu = (cfg.ntt_mxu_min_k is not None
+                    and k >= cfg.ntt_mxu_min_k
+                    and mxu_ntt.supported(k)
+                    and (_pallas_wanted() or cfg.ntt_mxu_force))
+        if self.mxu:
+            tf = mxu_ntt.MxuNttTables(k, w)
+            ti = mxu_ntt.MxuNttTables(k, w_inv)
+            self.tw_fwd = {"w2d": tf.w2d, "w1d": tf.w1d, "mid": tf.mid}
+            self.tw_inv = {"w2d": ti.w2d, "w1d": ti.w1d, "mid": ti.mid}
+            self.scale_one = F.pack([1] * n)
+            self.scale_n_inv = F.pack([n_inv] * n)
+            self.scale_coset = F.powers_host_base(g, n)
+            self.scale_coset_inv = F.powers_host_base(g_inv, n, scale=n_inv)
+            self._kernel = jax.jit(self._transform)
+            return
+
         # numpy: embeds as a trace-time constant (a captured device array
         # costs ~3 ms per jitted call on axon — ops/limb.py)
         self.bitrev = _bitrev_indices(n)
@@ -121,6 +145,10 @@ class NttPlan:
         F = self.F
         n = self.n
         k = self.k
+        if isinstance(twiddles, dict):
+            from . import mxu_ntt
+            return mxu_ntt.four_step(F, k, data, twiddles,
+                                     pre_scale, post_scale)
         x = F.mul(data, pre_scale)
         x = jnp.take(x, self.bitrev, axis=-1)
         if k == 0:

@@ -405,6 +405,148 @@ def ec_add(p, q, interpret: bool | None = None):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Fused EC scan kernels.
+#
+# The Pippenger chunk scan used to issue chunk_len (=256) separate XLA ops,
+# each a fresh pallas launch reading/writing the carry through HBM — the
+# scan measured ~55 ms per 2^16 MSM against a ~21 ms VPU floor.  These
+# kernels run the WHOLE scan in ONE pallas_call: grid = (lane_tiles, steps)
+# with the step axis minor (sequential), the accumulator carried in VMEM
+# scratch across grid steps, and block DMAs pipelined by the grid machinery.
+# ---------------------------------------------------------------------------
+
+
+def _ec_scan_mixed_kernel(g_ref, c_ref, ox_ref, oy_ref, oz_ref,
+                          accx, accy, accz):
+    """Inclusive prefix scan of mixed additions along the step axis.
+    g_ref block (1, 2L, T): the step's affine (x, y); scratch persists the
+    running sum across the sequential minor grid dim."""
+    L = accx.shape[0]
+    T = accx.shape[1]
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        z = jnp.zeros((L, T), jnp.uint32)
+        accx[:] = z
+        accy[:] = c_ref[:, 2:3] + z          # Montgomery 1
+        accz[:] = z
+
+    x3, y3, z3 = emit_ec_add_mixed(
+        (accx[:], accy[:], accz[:]),
+        (g_ref[0, :L], g_ref[0, L:]),
+        c_ref[:, 0:1], c_ref[:, 1:2])
+    accx[:] = x3
+    accy[:] = y3
+    accz[:] = z3
+    ox_ref[0] = x3
+    oy_ref[0] = y3
+    oz_ref[0] = z3
+
+
+@lru_cache(maxsize=None)
+def _ec_scan_mixed_call(cl: int, lanes: int, tile: int, interpret: bool):
+    L = FQ_SPEC.limbs
+    grid = (lanes // tile, cl)          # step axis minor => sequential
+    gs = pl.BlockSpec((1, 2 * L, tile), lambda l, s: (s, 0, l),
+                      memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((L, 3), lambda l, s: (0, 0), memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((1, L, tile), lambda l, s: (s, 0, l),
+                      memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((cl, L, lanes), jnp.uint32)
+    return pl.pallas_call(
+        _ec_scan_mixed_kernel,
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[gs, cs],
+        out_specs=(os, os, os),
+        scratch_shapes=[pltpu.VMEM((L, tile), jnp.uint32)] * 3,
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=None)
+def _ec_scan_consts():
+    """(24, 3): Fq modulus, -p^-1 mod R, Montgomery 1."""
+    spec = FQ_SPEC
+    nprime = (-pow(spec.modulus, -1, 1 << spec.bits)) % (1 << spec.bits)
+    return np.stack([_int_to_limbs(spec, spec.modulus),
+                     _int_to_limbs(spec, nprime),
+                     _int_to_limbs(spec, spec.mont_r)], axis=1)
+
+
+def ec_scan_mixed(g, interpret: bool | None = None):
+    """g (cl, 2L, lanes) u32 — per-step affine (x, y) rows — -> inclusive
+    mixed-add prefix ((cl, L, lanes),)*3 starting from the identity.
+    lanes must be a multiple of the EC tile."""
+    cl, _, lanes = g.shape
+    tile = get_config().ec_tile
+    if interpret is None:
+        interpret = _interpret_default()
+    consts = jnp.asarray(_ec_scan_consts())
+    return _ec_scan_mixed_call(cl, lanes, tile, interpret)(g, consts)
+
+
+def _ec_sum_kernel(g_ref, c_ref, ox_ref, oy_ref, oz_ref,
+                   accx, accy, accz):
+    """Sum along the step axis (full projective adds); the output block is
+    rewritten every step, so the final iteration's value lands."""
+    L = accx.shape[0]
+    T = accx.shape[1]
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        z = jnp.zeros((L, T), jnp.uint32)
+        accx[:] = z
+        accy[:] = c_ref[:, 2:3] + z
+        accz[:] = z
+
+    x3, y3, z3 = emit_ec_add(
+        (accx[:], accy[:], accz[:]),
+        (g_ref[0, :L], g_ref[0, L:2 * L], g_ref[0, 2 * L:]),
+        c_ref[:, 0:1], c_ref[:, 1:2])
+    accx[:] = x3
+    accy[:] = y3
+    accz[:] = z3
+    ox_ref[:] = x3
+    oy_ref[:] = y3
+    oz_ref[:] = z3
+
+
+@lru_cache(maxsize=None)
+def _ec_sum_call(steps: int, lanes: int, tile: int, interpret: bool):
+    L = FQ_SPEC.limbs
+    grid = (lanes // tile, steps)
+    gs = pl.BlockSpec((1, 3 * L, tile), lambda l, s: (s, 0, l),
+                      memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((L, 3), lambda l, s: (0, 0), memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((L, tile), lambda l, s: (0, l),
+                      memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, lanes), jnp.uint32)
+    return pl.pallas_call(
+        _ec_sum_kernel,
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[gs, cs],
+        out_specs=(os, os, os),
+        scratch_shapes=[pltpu.VMEM((L, tile), jnp.uint32)] * 3,
+        interpret=interpret,
+    )
+
+
+def ec_sum_steps(g, interpret: bool | None = None):
+    """g (steps, 3L, lanes) u32 projective rows -> ((L, lanes),)*3 sum
+    along the step axis in ONE launch (identity start)."""
+    steps, _, lanes = g.shape
+    tile = get_config().ec_tile
+    if interpret is None:
+        interpret = _interpret_default()
+    consts = jnp.asarray(_ec_scan_consts())
+    return _ec_sum_call(steps, lanes, tile, interpret)(g, consts)
+
+
 def _mul_kernel(a_ref, b_ref, c_ref, o_ref):
     o_ref[:] = emit_mont_mul(a_ref[:], b_ref[:],
                              c_ref[:, 0:1], c_ref[:, 1:2])

@@ -461,7 +461,12 @@ class DeviceEngine:
             w_ = jnp.stack([F.one_mont, zn, z2n, z3n])        # (4, L, 1)
             quot = F.sum_reduce(F.mul(chunks, w_), axis=0)    # (L, ns)
             t_eval = F.dot(quot, powz)
-            return ev_z, ev_zw, t_eval, quot, powz
+            # ONE fetchable stack (11 + 4 + 1 scalars): each host-visible
+            # fetch costs ~26 ms on the tunneled backend, and unpacking
+            # ev_z / ev_zw / t_eval separately took three of them
+            ev_all = jnp.concatenate(
+                [ev_z, ev_zw, t_eval[None]], axis=0)          # (16, L, 1)
+            return ev_all, quot, powz
 
         def rpoly_fn(tb, z_poly, lin_scalars, powz):
             srcs = jnp.zeros((12, F.L, ns), jnp.uint32)
@@ -630,11 +635,7 @@ class DeviceEngine:
             [(i, v) for i, v in zip(pi_indexes, public_inputs)], n))
 
         # ---- round 1 ------------------------------------------------------
-        flat = []
-        for col in ("w_a", "w_b", "w_o", "w_d"):
-            vals = [cs.witness[getattr(c, col)] for c in cs.constraints]
-            flat.extend(vals + [0] * (n - len(vals)))
-        wire_vals = self._stage_dom(F.pack(flat, shape=(4, n)))
+        wire_vals = self._stage_dom(F.pack(cs.wire_values(n), shape=(4, n)))
         _mark("wire_pack")
 
         blinders1 = F.pack(
@@ -692,12 +693,12 @@ class DeviceEngine:
         # ---- rounds 4+5 ----------------------------------------------------
         z_challenge = transcript.challenge_scalar(b"z_challenge")
         zw = z_challenge * self.pk.domain.generator % R_MOD
-        ev_z, ev_zw, t_eval_dev, quot, powz = self._evals(
+        ev_all, quot, powz = self._evals(
             self.tb, wire_polys, z_poly, chunks,
             F.pack_scalar(z_challenge), F.pack_scalar(zw))
 
-        ez = F.unpack(ev_z)
-        ezw = F.unpack(ev_zw)
+        ea = F.unpack(ev_all)                    # ONE fetch for 16 scalars
+        ez, ezw, t_eval = ea[:11], ea[11:15], ea[15]
         evals = {
             "a_eval": ez[0], "b_eval": ez[1], "c_eval": ez[2],
             "d_eval": ez[3],
@@ -708,7 +709,6 @@ class DeviceEngine:
             "a_next_eval": ezw[0], "b_next_eval": ezw[1],
             "d_next_eval": ezw[2], "perm_eval": ezw[3],
         }
-        t_eval = F.unpack(t_eval_dev)[0]
         _mark("evals")
 
         z_h_eval = (pow(z_challenge, n, R_MOD) - 1) % R_MOD

@@ -34,12 +34,21 @@ class TpuPlonkConfig:
     # --- quotient grid (proving/engine.py) --------------------------------
     quotient_chunks_large: int = 16  # 8n-domain split when n8 > 2^15
 
-    # --- NTT (ops/ntt.py, ops/pallas_field.py) -----------------------------
+    # --- NTT (ops/ntt.py, ops/pallas_field.py, ops/mxu_ntt.py) -------------
     ntt_tile: int = 1024            # fused-ladder lane tile (s_T = log2)
     # stacked (k, L, n) per-stage twiddle tables replace the per-stage
     # element gather (15 ms/stage at 2^19, measured) with a contiguous
     # dynamic slice; memory is k*L*n*4B per direction, so gate by k
     ntt_stacked_max_k: int = 20
+    # four-step NTT with int8 digit-plane matmuls on the MXU (ops/mxu_ntt)
+    # for domains at or above this size; None disables.  Default OFF: on
+    # v5e the path is bit-exact but measured slightly SLOWER than the
+    # fused butterfly ladder (k=19 pair: 81 ms vs 65 ms — the digit
+    # decompose/reduce VPU overhead outweighs the MXU matmul win at these
+    # sizes); kept for larger domains and future chips.
+    ntt_mxu_min_k: int | None = None
+    ntt_mxu_force: bool = False     # route through the MXU path off-TPU
+                                    # (interpret-mode Pallas; CPU tests)
 
     # --- mesh (parallel/) --------------------------------------------------
     mesh_axis: str = "shard"
