@@ -193,8 +193,14 @@ def _measure_ntt(k=None, out=sys.stdout):
     x = F.pack(vals, shape=(batch, n))
 
     # fetch only a slice: pulling the full (4, 16, n) result through the
-    # tunneled backend costs more than the transform itself (measured)
-    timed = jax.jit(lambda v: plan.coset_dft(v)[..., :2])
+    # tunneled backend costs more than the transform itself (measured).
+    # Tables ride as ARGS of the probe jit: re-tracing plan.coset_dft
+    # inside an outer jit inlines them as HLO constants (302 MB at k=18
+    # -> remote compile HTTP 413, measured)
+    timed = jax.jit(lambda v, tw, pre, post:
+                    plan._transform(v, tw, pre, post)[..., :2])
+    timed = (lambda f: lambda v: f(v, plan.tw_fwd, plan.scale_coset,
+                                   plan.scale_one))(timed)
     _sync(timed(x))  # warmup/compile
     times = []
     for _ in range(3):

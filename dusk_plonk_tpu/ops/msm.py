@@ -552,6 +552,15 @@ class MsmPlan:
 
     MAX_FUSED_COMMITS = 4
 
+    @property
+    def max_fused(self) -> int:
+        """Commits fused per dispatch, capped so the vmap'd gather/scan
+        working set fits HBM: ~2.5 GB per 2^18-point MSM instance
+        (measured OOM at B=4, n=2^18 on the 16 GB chip) -> keep
+        B * n <= 2^19 point-slots."""
+        return max(1, min(self.MAX_FUSED_COMMITS,
+                          (1 << 19) // max(self.n, 1)))
+
     def msm_affine_batch(self, points, limbs_stack):
         """points: packed SRS slice; limbs_stack (B, 16, N) canonical.
         Returns a list of B affine host points ((x, y) ints or None),
@@ -562,12 +571,12 @@ class MsmPlan:
         B = limbs_stack.shape[0]
         points = points if self._is_em(points) else \
             self.prepare_points(points)
-        if B > self.MAX_FUSED_COMMITS:
+        if B > self.max_fused:
             # pad to a multiple of the group size with zero scalars (the
             # pad rows commit to infinity, dropped below) so only ONE
             # fused executable shape ever compiles — an odd tail size is
             # a fresh ~5 min remote compile (measured at B=3)
-            M = self.MAX_FUSED_COMMITS
+            M = self.max_fused
             pad = (-B) % M
             if pad:
                 limbs_stack = jnp.concatenate(
@@ -636,7 +645,7 @@ class MsmPlan:
         points = points if self._is_em(points) else \
             self.prepare_points(points)
         B = limbs_stack.shape[0]
-        M = self.MAX_FUSED_COMMITS
+        M = self.max_fused
         if B > M:
             pad = (-B) % M
             if pad:

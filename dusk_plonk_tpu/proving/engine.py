@@ -203,24 +203,26 @@ class DeviceEngine:
         pn, p8 = self.plan_n, self.plan_8n
 
         @jax.jit
-        def prep(sel_polys, sigma_polys):
+        def prep(sel_polys, sigma_polys, tw_fwd, tw_inv, s_one, s_ninv):
             """16 n-degree polys padded to 8n, emitted as 8 PAIRS (the
             8n-NTT working set exceeds HBM for wide batches at k>=19):
-            slots 0-10 selectors, 11-14 sigmas, 15 the L1 polynomial."""
+            slots 0-10 selectors, 11-14 sigmas, 15 the L1 polynomial.
+            Twiddle tables ride as ARGS — closure-captured they embed as
+            HLO constants (302 MB at k=18: remote compile HTTP 413)."""
             pad8 = jnp.zeros((16, F.L, n8), jnp.uint32)
             pad8 = pad8.at[:15, :, :n].set(
                 jnp.concatenate([sel_polys, sigma_polys], axis=0))
             e1 = jnp.zeros((F.L, n), jnp.uint32).at[:, 0].set(
                 F.one_mont[:, 0])
-            l1_poly = pn._transform(
-                e1, pn.tw_inv, pn.scale_one, pn.scale_n_inv)
+            l1_poly = pn._transform(e1, tw_inv, s_one, s_ninv)
             pad8 = pad8.at[15, :, :n].set(l1_poly)
             # sigma evals over the n domain (round 2 denominators)
-            sig_n = pn._transform(
-                sigma_polys, pn.tw_fwd, pn.scale_one, pn.scale_one)
+            sig_n = pn._transform(sigma_polys, tw_fwd, s_one, s_one)
             return tuple(pad8[2 * i:2 * i + 2] for i in range(8)), sig_n
 
-        pairs, self.sigma_evals_n = prep(self.sel_polys, self.sigma_polys)
+        pairs, self.sigma_evals_n = prep(
+            self.sel_polys, self.sigma_polys,
+            pn.tw_fwd, pn.tw_inv, pn.scale_one, pn.scale_n_inv)
         evs = [p8._kernel(p, p8.tw_fwd, p8.scale_coset, p8.scale_one)
                for p in pairs]
 

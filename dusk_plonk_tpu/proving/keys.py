@@ -223,22 +223,25 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
     roots_arg = F.powers_host_base(fr_root_of_unity(k), n)
 
     @jax.jit
-    def build(cols, col_idx, gate_idx, roots):
-        sel_polys = plan._transform(cols, plan.tw_inv, plan.scale_one,
-                                    plan.scale_n_inv)
+    def build(cols, col_idx, gate_idx, roots, tw_inv, s_one, s_ninv):
+        # twiddle/scale tables ride as ARGS: closure-captured they embed
+        # as HLO constants — the stacked (k, L, n) table is 302 MB at
+        # k=18 and the remote compile service rejects the module (HTTP
+        # 413, measured)
+        sel_polys = plan._transform(cols, tw_inv, s_one, s_ninv)
         sig_lagrange = F.mul(
             jnp.moveaxis(ks[:, col_idx], 0, 1),               # (4, L, n)
             jnp.moveaxis(roots[:, gate_idx], 0, 1))
-        sigma_polys = plan._transform(sig_lagrange, plan.tw_inv,
-                                      plan.scale_one, plan.scale_n_inv)
+        sigma_polys = plan._transform(sig_lagrange, tw_inv, s_one, s_ninv)
         all15 = jnp.concatenate([sel_polys, sigma_polys], axis=0)
         canon = jnp.zeros((15, F.L, ns), jnp.uint32).at[:, :, :n].set(
             F.from_mont(all15))
         return sel_polys, sigma_polys, canon
 
     with tracer.span("compile.build_polys"):
-        sel_polys, sigma_polys, canon = build(cols, col_idx, gate_idx,
-                                              roots_arg)
+        sel_polys, sigma_polys, canon = build(
+            cols, col_idx, gate_idx, roots_arg,
+            plan.tw_inv, plan.scale_one, plan.scale_n_inv)
         canon.block_until_ready()
 
     with tracer.span("compile.pack_srs"):

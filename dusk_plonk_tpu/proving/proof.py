@@ -336,19 +336,25 @@ def _batch_check(opening_key, points, proofs, transcript) -> bool:
     for _ in range(len(proofs) - 1):
         powers.append(powers[-1] * u % R_MOD)
 
-    total_c = None
-    total_w = None
+    # two MSMs instead of per-term scalar muls (same fold:
+    #   total_w = sum u^i w_i
+    #   total_c = sum u^i c_i + sum u^i z_i w_i - (sum u^i ev_i) g )
     g_multiplier = 0
+    c_pts, c_wts = [], []
+    w_pts, w_wts = [], []
     for proof, u_pow, point in zip(proofs, powers, points):
-        c = proof["commitment_to_polynomial"]
-        w = proof["commitment_to_witness"]
-        c = bls.g1_add(c, bls.g1_mul(w, point))
+        c_pts.append(proof["commitment_to_polynomial"])
+        c_wts.append(u_pow)
+        c_pts.append(proof["commitment_to_witness"])
+        c_wts.append(u_pow * point % R_MOD)
+        w_pts.append(proof["commitment_to_witness"])
+        w_wts.append(u_pow)
         g_multiplier = (g_multiplier
                         + u_pow * proof["evaluated_point"]) % R_MOD
-        total_c = bls.g1_add(total_c, bls.g1_mul(c, u_pow))
-        total_w = bls.g1_add(total_w, bls.g1_mul(w, u_pow))
-    total_c = bls.g1_add(total_c,
-                         bls.g1_neg(bls.g1_mul(opening_key.g, g_multiplier)))
+    c_pts.append(opening_key.g)
+    c_wts.append((-g_multiplier) % R_MOD)
+    total_c = bls.g1_msm(c_pts, c_wts)
+    total_w = bls.g1_msm(w_pts, w_wts)
 
     return multi_pairing_is_one([
         (bls.g1_neg(total_w), opening_key.beta_h),
