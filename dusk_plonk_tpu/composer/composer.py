@@ -492,6 +492,92 @@ class Plonk:
             result = self.component_add_point(result, point_to_add)
         return result
 
+    # -- columnar gadget builders ------------------------------------------------
+    #
+    # The reference re-synthesizes the circuit on every proof
+    # (src/prover.rs:76-78); at 2^16+ gates a per-gate Python builder chain
+    # dominates proving latency (SURVEY.md §7 hard part #5).  These emit
+    # exactly the gates the per-gate loop would (validated in
+    # tests/test_fast_synth.py) with one template constraint per call.
+
+    def append_mul_chain(self, acc: int, b: int, count: int) -> int:
+        """`count` chained q_m=1 gates: acc_{i+1} = acc_i * b (the bench
+        workload's gate filler).  Identical circuit to a gate_mul loop."""
+        out = acc
+        w = self.witness
+        bv = w[b]
+        for _ in range(count):
+            # inlined _gate_with_output on a fresh (never-shared) record
+            c = Constraint()
+            c.q_m = 1
+            c.q_arith = 1
+            c.q_o = R_MOD - 1
+            c.w_a = out
+            c.w_b = b
+            o_val = w[out] * bv % R_MOD        # q_o = -1 fast path
+            out = self.append_witness(o_val)
+            c.w_o = out
+            self.append_custom_gate(c)
+        return out
+
+
+class FastPlonk(Plonk):
+    """Witness-only synthesis mode for per-proof re-synthesis.
+
+    The reference re-runs full synthesis on every proof (src/prover.rs:76-78)
+    but the prover only consumes the witness VALUES and public inputs — the
+    constraints, wire-index columns and permutation cycles are a function of
+    circuit SHAPE, already fixed at compile.  This mode runs the same gadget
+    code with constraint/permutation bookkeeping compiled out (~3x less
+    Python per gate, measured); the engine pairs it with compile-cached wire
+    index columns.  Equivalence with the full composer (witness list, public
+    inputs, gate count) is pinned by tests/test_fast_synth.py."""
+
+    def __init__(self):
+        self.witness = []
+        self.instance = {}
+        self.gates = 0
+
+    def m(self) -> int:
+        return self.gates
+
+    def append_witness(self, value) -> int:
+        w = self.witness
+        w.append(int(value) % R_MOD)
+        return len(w) - 1
+
+    def append_custom_gate(self, c: Constraint) -> None:
+        if c.public_input is not None:
+            self.instance[self.gates] = c.public_input
+        self.gates += 1
+
+    def append_gate(self, c: Constraint) -> None:
+        # the arithmetic() tag only sets a selector; shape-only here
+        self.append_custom_gate(c)
+
+    def _gate_with_output(self, s: Constraint) -> int:
+        w = self.witness
+        pi = s.public_input or 0
+        x = (s.q_m * w[s.w_a] % R_MOD * w[s.w_b] + s.q_l * w[s.w_a]
+             + s.q_r * w[s.w_b] + s.q_d * w[s.w_d] + s.q_c + pi) % R_MOD
+        if s.public_input is not None:
+            self.instance[self.gates] = s.public_input
+        self.gates += 1
+        w.append(x)                         # q_o = -1 fast path: o = x
+        return len(w) - 1
+
+    def append_mul_chain(self, acc: int, b: int, count: int) -> int:
+        w = self.witness
+        bv = w[b]
+        av = w[acc]
+        vals = [0] * count
+        for i in range(count):
+            av = av * bv % R_MOD
+            vals[i] = av
+        w.extend(vals)
+        self.gates += count
+        return len(w) - 1
+
 
 class Circuit:
     """User-facing circuit trait (zksnarks::circuit::Circuit as used in

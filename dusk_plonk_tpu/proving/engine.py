@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..fields.constants import R_MOD, FR_GENERATOR, PERM_K1, PERM_K2, PERM_K3
 from ..fields.host import fr_root_of_unity
-from ..composer.composer import Plonk, Error
+from ..composer.composer import Plonk, FastPlonk, Error
 from ..rng.chacha import fr_random
 from ..ops.limb import fr_field, _int_to_limbs
 from ..ops.ntt import ntt_plan
@@ -87,7 +87,7 @@ class DeviceEngine:
     subsequent proof reuses the compiled graphs)."""
 
     def __init__(self, prover, sel_polys=None, sigma_polys=None,
-                 srs=None, msm=None):
+                 srs=None, msm=None, wire_plan=None):
         pk = prover.prover_key
         self.prover = prover
         self.pk = pk
@@ -134,10 +134,51 @@ class DeviceEngine:
         self.sel_polys = sel_polys
         self.sigma_polys = sigma_polys
 
+        # wire-index columns are circuit SHAPE, fixed at compile; cached so
+        # per-proof re-synthesis runs witness-only (FastPlonk) and wire
+        # packing is one numpy gather (reference re-derives them every
+        # proof, src/prover.rs:76-119; that cost 19% of proof time here)
+        self._wire_plan = wire_plan
+
         # --- derived device tables (all computed on device) ----------------
         self._build_tables()
         self._stage_tables()
         self._build_kernels()
+
+    # -- fast witness synthesis ---------------------------------------------
+
+    @staticmethod
+    def build_wire_plan(cs, n: int):
+        """(cols, n_witness, n_gates): cols (4, n) indexes into the witness
+        list, with the zero-pad tail pointing at a sentinel zero row."""
+        nw = len(cs.witness)
+        cols = np.full((4, n), nw, np.int64)
+        for j, col in enumerate(cs.wire_cols):
+            cols[j, :len(col)] = col
+        return cols, nw, cs.m()
+
+    def _synthesize_fast(self, circuit):
+        """Witness-only re-synthesis + numpy wire packing -> (cs, wire_np):
+        wire_np (4, L, n) canonical limbs (Montgomery conversion happens on
+        device, one jitted mul)."""
+        cs = FastPlonk.initialize()
+        circuit.synthesize(cs)
+        if self._wire_plan is None:
+            full = Plonk.initialize()
+            circuit.synthesize(full)
+            self._wire_plan = self.build_wire_plan(full, self.n)
+        cols, nw, m = self._wire_plan
+        if len(cs.witness) != nw or cs.m() != m:
+            raise Error(
+                f"circuit shape changed between compile and prove: "
+                f"{len(cs.witness)} witnesses / {cs.m()} gates vs "
+                f"compiled {nw} / {m}")
+        buf = b"".join(v.to_bytes(32, "little") for v in cs.witness)
+        wit = np.frombuffer(buf + bytes(32), dtype="<u2").reshape(nw + 1, 16)
+        gathered = wit[cols]                              # (4, n, 16)
+        wire_np = np.ascontiguousarray(
+            np.moveaxis(gathered, -1, 1)).astype(np.uint32)
+        return cs, wire_np
 
     # -- sharding hooks (overridden by proving/sharded_engine.py) -----------
     #
@@ -623,8 +664,7 @@ class DeviceEngine:
             tracer.add_span("prove." + label, now - _t0)
             _t0 = now
 
-        cs = Plonk.initialize()
-        circuit.synthesize(cs)
+        cs, wire_np = self._synthesize_fast(circuit)
         _mark("synthesize")
 
         transcript = prover.transcript.clone()
@@ -637,7 +677,8 @@ class DeviceEngine:
             [(i, v) for i, v in zip(pi_indexes, public_inputs)], n))
 
         # ---- round 1 ------------------------------------------------------
-        wire_vals = self._stage_dom(F.pack(cs.wire_values(n), shape=(4, n)))
+        wire_vals = self._stage_dom(
+            F._jit_mul(jnp.asarray(wire_np), jnp.asarray(F.r2)))
         _mark("wire_pack")
 
         blinders1 = F.pack(

@@ -217,7 +217,7 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
     gate_idx = jnp.asarray(np.array(
         [[g for (c, g) in s] for s in sigmas], np.int32))
     ks = F.pack([1, PERM_K1, PERM_K2, PERM_K3])               # (L, 4)
-    ns = len(trimmed.powers)
+    ns = trimmed.n_powers()
     # domain roots from host power tables (a traced power scan at 2^16+
     # costs minutes of remote XLA compile; this is one broadcast mul)
     roots_arg = F.powers_host_base(fr_root_of_unity(k), n)
@@ -245,7 +245,10 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
         canon.block_until_ready()
 
     with tracer.span("compile.pack_srs"):
-        srs = G1.pack_points(trimmed.powers)
+        if trimmed.packed is not None:
+            srs = tuple(jnp.asarray(c) for c in trimmed.packed)
+        else:
+            srs = G1.pack_points(trimmed.powers)
         msm = MsmPlan(ns)
     with tracer.span("compile.commit15"):
         pts = msm.msm_affine_batch(srs, canon)
@@ -264,7 +267,7 @@ def compile_circuit_device(params, circuit, label: bytes = b"plonk"):
     with tracer.span("compile.engine_init"):
         prover.use_device_engine(DeviceEngine(
             prover, sel_polys=sel_polys, sigma_polys=sigma_polys,
-            srs=srs, msm=msm))
+            srs=srs, msm=msm, wire_plan=DeviceEngine.build_wire_plan(cs, n)))
     verifier = Verifier(label, verifier_key, trimmed.verification_key(),
                         cs.public_input_indexes(), n, m)
     return prover, verifier
