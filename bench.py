@@ -52,12 +52,19 @@ def _setup_params_cached(k: int, rng):
     one-time, not part of any measured metric."""
     from dusk_plonk_tpu.prelude import PlonkParams
 
+    from dusk_plonk_tpu.rng.chacha import fr_random
+
+    ppath = os.path.join(_CACHE_DIR, f"srs_k{k}_packed.npz")
+    if os.path.exists(ppath):
+        # pre-packed Montgomery limb planes (tools/gen_srs20.py): ~1 s
+        # load at 2^20 vs minutes of per-point Python for the SCALE form
+        pp = PlonkParams.from_packed_npz(ppath)
+        fr_random(rng)  # keep the rng stream identical to a fresh setup
+        return pp
     path = os.path.join(_CACHE_DIR, f"srs_k{k}.bin")
     if os.path.exists(path):
         with open(path, "rb") as f:
             pp = PlonkParams.from_bytes(f.read())
-        # keep the rng stream identical to a fresh setup (one tau draw)
-        from dusk_plonk_tpu.rng.chacha import fr_random
         fr_random(rng)
         return pp
     pp = PlonkParams.setup_device(k, rng)
@@ -219,12 +226,9 @@ def _measure_ntt(k=None, out=sys.stdout):
     }), file=out, flush=True)
 
 
-def bench_proof():
-    from dusk_plonk_tpu.prelude import (
-        PlonkKey, Circuit, ChaCha12Rng, Constraint,
-    )
+def _bench_circuit(k):
+    from dusk_plonk_tpu.prelude import Circuit
 
-    k = int(os.environ.get("BENCH_K", 16))
     # leave room for range/logic/setup gates
     n_mul_gates = max(1, (1 << k) - 700)
 
@@ -238,31 +242,50 @@ def bench_proof():
         def synthesize(self, c):
             w = c.append_witness(self.x)
             acc = c.append_witness(1)
-            for _ in range(n_mul_gates):
-                acc = c.gate_mul(Constraint().mult(1).a(acc).b(w))
+            # columnar mul-chain builder: same gates as a gate_mul loop
+            # (tests/test_fast_synth.py), ~20x less Python per proof
+            acc = c.append_mul_chain(acc, w, n_mul_gates)
             c.component_range(w, 64)
             c.append_logic_xor(w, acc, 128)
             c.append_logic_and(w, acc, 128)
 
-    rng = ChaCha12Rng.seed_from_u64(8349)
+    return BenchCircuit
+
+
+def _bench_proof_at(k, rng, timed_reps=2):
+    """Build the 2^k bench prover and time proofs; returns
+    (best_seconds, prover, verifier, proof, pis)."""
+    from dusk_plonk_tpu.prelude import PlonkKey
+
+    BenchCircuit = _bench_circuit(k)
     t0 = time.perf_counter()
     pp = _setup_params_cached(k, rng)
     t1 = time.perf_counter()
     prover, verifier = PlonkKey.compile_device(pp, BenchCircuit)
     t2 = time.perf_counter()
-    print(f"setup {t1 - t0:.1f}s, compile {t2 - t1:.1f}s",
+    print(f"k={k}: setup {t1 - t0:.1f}s, compile {t2 - t1:.1f}s",
           file=sys.stderr, flush=True)
 
-    # warmup proof (compiles every round kernel)
+    # warmup proof (compiles every round kernel); verify raises on failure
     proof, pis = prover.create_proof(rng, BenchCircuit(3))
     verifier.verify(proof, pis)
 
     times = []
-    for _ in range(2):
+    for _ in range(timed_reps):
         t0 = time.perf_counter()
         proof, pis = prover.create_proof(rng, BenchCircuit(3))
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    return min(times), prover, verifier, proof, pis
+
+
+def bench_proof():
+    from dusk_plonk_tpu.prelude import ChaCha12Rng
+
+    k = int(os.environ.get("BENCH_K", 16))
+    wall0 = time.perf_counter()
+    rng = ChaCha12Rng.seed_from_u64(8349)
+    best, prover, verifier, proof, pis = _bench_proof_at(k, rng)
+
     vtimes = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -294,12 +317,57 @@ def bench_proof():
         print(f"throughput metrics failed: {e}", file=sys.stderr, flush=True)
 
     baseline = 7.871  # reference M1 seconds at 2^16
+    # the headline stdout line FIRST (the driver contract), the optional
+    # large-config stage after it on stderr
     print(json.dumps({
         "metric": f"proof_seconds_2e{k}",
         "value": round(best, 3),
         "unit": "seconds",
         "vs_baseline": round(baseline / best, 3),
-    }))
+    }), flush=True)
+
+    _maybe_bench_2e20(k, wall0)
+
+
+def _maybe_bench_2e20(k_main, wall0):
+    """BASELINE.md large config: one 2^20 proof on the single chip
+    (stderr metric; vs_baseline = the M1 2^16 number linearly scaled
+    x16 — the reference publishes no 2^20 measurement)."""
+    if os.environ.get("BENCH_2E20", "1") == "0" or k_main >= 20:
+        return
+    if not os.path.exists(os.path.join(_CACHE_DIR, "srs_k20_packed.npz")):
+        print("2^20 stage skipped: no cached SRS", file=sys.stderr,
+              flush=True)
+        return
+    elapsed = time.perf_counter() - wall0
+    budget = float(os.environ.get("BENCH_2E20_START_BUDGET", 420))
+    if elapsed > budget:
+        print(f"2^20 stage skipped: {elapsed:.0f}s elapsed > {budget:.0f}s "
+              "start budget", file=sys.stderr, flush=True)
+        return
+    try:
+        import gc
+        import jax
+        from dusk_plonk_tpu.prelude import ChaCha12Rng
+        gc.collect()
+        rng = ChaCha12Rng.seed_from_u64(8349)
+        best, prover, verifier, proof, pis = _bench_proof_at(
+            20, rng, timed_reps=1)
+        if prover.engine is not None and \
+                getattr(prover.engine, "last_timings", None):
+            print(json.dumps({"round_seconds_2e20": {
+                k_: round(v, 4)
+                for k_, v in prover.engine.last_timings.items()}}),
+                file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": "proof_seconds_2e20",
+            "value": round(best, 3),
+            "unit": "seconds",
+            "vs_baseline": round(16 * 7.871 / best, 3),
+        }), file=sys.stderr, flush=True)
+    except Exception as e:  # never jeopardize the headline metric
+        print(f"2^20 stage failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

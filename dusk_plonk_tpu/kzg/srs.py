@@ -32,11 +32,35 @@ class EvaluationKey:
 class PlonkParams:
     """Powers-of-tau SRS in G1 plus (h, tau*h) in G2."""
 
-    def __init__(self, powers: list, h, beta_h):
-        self.powers = powers            # [tau^i * G1] affine
+    def __init__(self, powers: list, h, beta_h, packed=None, g=None):
+        self.powers = powers            # [tau^i * G1] affine (None if packed)
         self.h = h
         self.beta_h = beta_h
         self.msm_fn = None              # injected device MSM: (points, scalars) -> point
+        # packed: ((24,N),)*3 uint32 numpy Montgomery limb planes — the
+        # device-ready SRS form (large configs skip the per-point Python
+        # host list entirely; see tools/gen_srs20.py / from_packed_npz)
+        self.packed = packed
+        self._g = g                     # generator affine (packed mode)
+
+    def n_powers(self) -> int:
+        return self.packed[0].shape[-1] if self.packed is not None \
+            else len(self.powers)
+
+    @classmethod
+    def from_packed_npz(cls, path) -> "PlonkParams":
+        """Load the pre-packed Montgomery limb-plane SRS (written by
+        tools/gen_srs20.py): ~1 s for 2^20 points vs minutes of per-point
+        Python for the SCALE form.  Host `powers` are unavailable; only
+        the device compile/prove path works."""
+        import numpy as np
+        from ..proving.proof import _g1_unscale, _g2_unscale
+        z = np.load(path)
+        packed = tuple(z[k].astype(np.uint32) for k in ("tx", "ty", "tz"))
+        h = _g2_unscale(z["h"].tobytes())
+        beta_h = _g2_unscale(z["beta_h"].tobytes())
+        g = _g1_unscale(z["g"].tobytes())
+        return cls(None, h, beta_h, packed=packed, g=g)
 
     def to_bytes(self) -> bytes:
         """SCALE layout (reference `PlonkParams` persistence surface,
@@ -150,15 +174,13 @@ class PlonkParams:
             return G1.add(p, q)
 
         with tracer.span("srs.device_reduce"):
-            winpts = [gather1(tx, ty, tz, flat_idx[w])
-                      for w in range(windows)]
-            while len(winpts) > 1:
-                nxt = [addp(winpts[i], winpts[i + 1])
-                       for i in range(0, len(winpts) - 1, 2)]
-                if len(winpts) % 2:
-                    nxt.append(winpts[-1])
-                winpts = nxt
-            out = winpts[0]
+            # streaming accumulation, not a tree: holding all 32 gathered
+            # (24, n) window buffers peaks at ~9.6 GB HBM at k=20 (the
+            # 16 GB chip OOMs once the first reduce level doubles it);
+            # the running-sum chain keeps peak residency at 3 buffers
+            out = gather1(tx, ty, tz, flat_idx[0])
+            for w in range(1, windows):
+                out = addp(out, gather1(tx, ty, tz, flat_idx[w]))
             jax.block_until_ready(out)
         with tracer.span("srs.unpack"):
             powers = G1.unpack_points(out)
@@ -170,17 +192,21 @@ class PlonkParams:
     def trim(self, degree: int) -> "PlonkParams":
         """Truncate to `degree` (reference src/key.rs:82 trims to
         (m+6).next_power_of_two())."""
-        if degree + 1 > len(self.powers):
+        if degree + 1 > self.n_powers():
             raise ValueError(
-                f"SRS too small: need degree {degree}, have {len(self.powers) - 1}")
-        trimmed = PlonkParams(
-            self.powers[: min(degree + 7, len(self.powers))],
-            self.h, self.beta_h)
+                f"SRS too small: need degree {degree}, have {self.n_powers() - 1}")
+        keep = min(degree + 7, self.n_powers())
+        if self.packed is not None:
+            trimmed = PlonkParams(
+                None, self.h, self.beta_h,
+                packed=tuple(c[:, :keep] for c in self.packed), g=self._g)
+        else:
+            trimmed = PlonkParams(self.powers[:keep], self.h, self.beta_h)
         trimmed.msm_fn = self.msm_fn
         return trimmed
 
     def max_degree(self) -> int:
-        return len(self.powers) - 1
+        return self.n_powers() - 1
 
     def commit(self, coeffs: list[int]):
         """Commitment = MSM(powers[:len], coeffs)."""
@@ -211,7 +237,8 @@ class PlonkParams:
         return quotient
 
     def verification_key(self) -> EvaluationKey:
-        return EvaluationKey(g=self.powers[0], h=self.h, beta_h=self.beta_h)
+        g = self._g if self.packed is not None else self.powers[0]
+        return EvaluationKey(g=g, h=self.h, beta_h=self.beta_h)
 
 
 def _fixed_base_powers(base, tau: int, n: int) -> list:

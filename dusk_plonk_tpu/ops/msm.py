@@ -118,6 +118,16 @@ class MsmPlan:
         # host); MSB-first double-and-add needs ONE, and at n <= 512 the
         # 512-step ladder's execution cost is trivial on any backend
         self.serial = self.n_pad <= cfg.msm_serial_max
+        # fused-Pallas scan eligibility + 14-bit engine choice are static
+        # per plan (the em table layout depends on them: the 14-bit scan
+        # consumes a Montgomery-R14 pre-scaled table, _build_em)
+        from .limb import _pallas_wanted
+        nc0 = self.n_pad // self.chunk_len
+        lanes0 = self.wg * nc0
+        self.use_pallas_scan = (
+            (_pallas_wanted() or cfg.ec_limb14_force)
+            and lanes0 % cfg.ec_tile == 0)
+        self.use14 = self.use_pallas_scan and cfg.ec_limb14
         self._msm_fn = jax.jit(self._msm_jit)
         self._msm_affine_fns = {}
         self._msm_totals_fns = {}
@@ -176,6 +186,16 @@ class MsmPlan:
                 [px, jnp.broadcast_to(gen[0], (px.shape[0], pad))], axis=-1)
             py = jnp.concatenate(
                 [py, jnp.broadcast_to(gen[1], (py.shape[0], pad))], axis=-1)
+        if self.use14:
+            # Montgomery base change R16 -> R14 for the 14-bit scan: one
+            # mul by mont16(2^8) = 2^392 mod p makes every table entry
+            # the R14-canonical form the kernel regroups bit-exactly
+            # (ops/pallas_field.py, 14-bit engine notes)
+            from .limb import _int_to_limbs
+            c392 = jnp.asarray(_int_to_limbs(
+                Fq.spec, (1 << 392) % Fq.spec.modulus)[:, None])
+            px = Fq.mul(px, c392)
+            py = Fq.mul(py, c392)
         em = jnp.concatenate([
             jnp.concatenate([px, py], axis=0),
             jnp.concatenate([px, Fq.neg(py)], axis=0)], axis=-1).T
@@ -253,15 +273,19 @@ class MsmPlan:
             em[order + n * ssign])                       # (Wg, N, 2L)
         g = g.reshape(wg, nc, cl, 2 * L).transpose(2, 3, 0, 1)
         g = g.reshape(cl, 2 * L, wg * nc)
-        from .limb import _pallas_wanted
         lanes0 = wg * nc
-        if _pallas_wanted() and lanes0 % get_config().ec_tile == 0:
+        psc = None
+        if self.use_pallas_scan:
             # whole chunk scan in ONE pallas launch (VMEM-carried
             # accumulator): the per-step XLA scan below costs ~55 ms per
             # 2^16 MSM against a ~21 ms VPU floor (launch + carry HBM
             # round-trip per step)
             from . import pallas_field as pf
-            ps = pf.ec_scan_mixed(g)                     # (cl, L, Wg*nc) x3
+            if self.use14:
+                psc = pf.ec_scan_mixed14(g)              # (cl, 3L, Wg*nc)
+                ps = (psc[:, :L], psc[:, L:2 * L], psc[:, 2 * L:])
+            else:
+                ps = pf.ec_scan_mixed(g)                 # (cl, L, Wg*nc) x3
         else:
             xs = (g[:, :L], g[:, L:])
             ident = G1.broadcast_identity((), lanes0)    # (L, Wg*nc)
@@ -278,7 +302,24 @@ class MsmPlan:
         # old <128-lane sequential scan ran unfused and cost ~90 ms per
         # 2^16 MSM on the TPU.  Cross-window roll contamination lands only
         # on lanes with pos < shift, which the mask keeps unchanged.
-        if nc == 1:
+        offsets_st = None
+        if self.use14 and nc > 1:
+            # exclusive chunk-offset scan in ONE kernel launch over
+            # (nc steps, wg lanes padded to a tile): the Hillis-Steele
+            # fallback below issues log2(nc) separate EC-add launches
+            from . import pallas_field as pf
+            cfg14 = get_config()
+            wpad = -(-wg // cfg14.ec_tile) * cfg14.ec_tile
+            last3 = psc[-1].reshape(3 * L, wg, nc)       # (3L, wg, nc)
+            seq = jnp.transpose(last3, (2, 0, 1))        # (nc, 3L, wg)
+            seq = jnp.pad(seq, [(0, 0), (0, 0), (0, wpad - wg)])
+            off_seq = pf.ec_scan_excl14(seq)             # (nc, 3L, wpad)
+            offsets_st = jnp.transpose(
+                off_seq[..., :wg], (1, 2, 0)).reshape(3 * L, wg * nc)
+        elif self.use14:                                 # nc == 1
+            offsets_st = jnp.concatenate(
+                G1.broadcast_identity((), wg * nc), axis=0)
+        elif nc == 1:
             offsets = G1.broadcast_identity((), wg * nc)
         else:
             last = tuple(c[-1] for c in ps)              # (L, Wg*nc)
@@ -316,18 +357,22 @@ class MsmPlan:
 
         # element-major copies for the prefix reads (same strided-gather
         # trap as the point gather: each read wants one point = 3L
-        # contiguous words, not 3L strided rows)
+        # contiguous words, not 3L strided rows; a direct strided gather
+        # from the (cl, 3L, lanes) layout regressed the vmapped B=4
+        # commit batch 13x, measured)
         lanes = wg * nc
+        stacked = psc if psc is not None else jnp.concatenate(ps, axis=1)
         ps_em = jax.lax.optimization_barrier(
-            jnp.concatenate(ps, axis=1).transpose(0, 2, 1).reshape(
+            stacked.transpose(0, 2, 1).reshape(
                 cl * lanes, 3 * L))                      # (cl*lanes, 3L)
         off_em = jax.lax.optimization_barrier(
+            offsets_st.T if offsets_st is not None else
             jnp.concatenate(offsets, axis=0).T)          # (lanes, 3L)
 
         def ps_at(idx):
             """Prefix-scan value at index (Wg, M) -> (L, Wg*M) flat;
-            identity at -1.  ONE G1.add instantiation (compile-size: each
-            inlined EC add is ~20k HLO ops)."""
+            identity at -1.  ONE EC-add launch (ec_add14 on the 14-bit
+            path: single stacked output buffer)."""
             m = idx.shape[-1]
             neg = (idx < 0).reshape(wg * m)
             safe = jnp.maximum(idx, 0)
@@ -335,12 +380,18 @@ class MsmPlan:
             pi = (safe % cl).reshape(wg * m)
             flat_lane = (wg_ix * nc + ci).reshape(wg * m)
             vrows = jax.lax.optimization_barrier(
-                ps_em[pi * lanes + flat_lane]).T         # (Wg*M, 3L)
+                ps_em[pi * lanes + flat_lane]).T         # (3L, Wg*M)
             orows = jax.lax.optimization_barrier(
-                off_em[flat_lane]).T                     # (Wg*M, 3L)
-            vals = (vrows[:L], vrows[L:2 * L], vrows[2 * L:])
-            offs = (orows[:L], orows[L:2 * L], orows[2 * L:])
-            summed = G1.add(vals, offs)
+                off_em[flat_lane]).T                     # (3L, Wg*M)
+            if self.use14:
+                from . import pallas_field as pf
+                summed_st = pf.ec_add14(vrows, orows)
+                summed = (summed_st[:L], summed_st[L:2 * L],
+                          summed_st[2 * L:])
+            else:
+                vals = (vrows[:L], vrows[L:2 * L], vrows[2 * L:])
+                offs = (orows[:L], orows[L:2 * L], orows[2 * L:])
+                summed = G1.add(vals, offs)
             ident_b = G1.broadcast_identity((), wg * m)
             return G1.select(neg, ident_b, summed)
 
@@ -361,18 +412,45 @@ class MsmPlan:
         lvl1 = tuple(c.transpose(3, 0, 1, 2).reshape(sb, L, wg * sa)
                      for c in t3)
 
-        if _pallas_wanted() and (wg * sa) % get_config().ec_tile == 0:
+        from .limb import _pallas_wanted
+        cfg = get_config()
+        if ((_pallas_wanted() or cfg.ec_limb14_force)
+                and (wg * sa) % cfg.ec_tile == 0):
             # level-1 bucket sum in ONE launch (same rationale as the
             # chunk scan above: sb sequential XLA steps cost launch +
             # carry HBM round-trips each)
             from . import pallas_field as pf
-            acc1 = pf.ec_sum_steps(jnp.concatenate(lvl1, axis=1))
+            cat = jnp.concatenate(lvl1, axis=1)
+            if cfg.ec_limb14:
+                s14 = pf.ec_sum_steps14(cat)             # (3L, wg*sa)
+                acc1 = (s14[:L], s14[L:2 * L], s14[2 * L:])
+            else:
+                acc1 = pf.ec_sum_steps(cat)
         else:
             def sum_body(acc, x):
                 return G1.add(acc, x), None
 
             acc1, _ = jax.lax.scan(
                 sum_body, G1.broadcast_identity((), wg * sa), lvl1)
+        if self.use14:
+            from . import pallas_field as pf
+            wpad = -(-wg // cfg.ec_tile) * cfg.ec_tile
+            # lvl2 sum (sa steps, wg lanes) + the NB*full_sum - sum tail,
+            # each ONE kernel launch (the XLA fallback below is sa + ~12
+            # separate EC-add launches on tiny lane counts)
+            l2 = jnp.concatenate(
+                [c.reshape(L, wg, sa) for c in acc1], axis=0)  # (3L,wg,sa)
+            l2 = jnp.pad(jnp.transpose(l2, (2, 0, 1)),
+                         [(0, 0), (0, 0), (0, wpad - wg)])
+            cur_st = pf.ec_sum_steps14(l2)[..., :wg]     # (3L, wg)
+            full_st = jnp.concatenate(full_sum, axis=0)  # (3L, wg)
+            negc = jnp.concatenate(
+                [cur_st[:L], self.Fq.neg(cur_st[L:2 * L]),
+                 cur_st[2 * L:]], axis=0)
+            tot = pf.ec_double_add14(full_st, negc, NB.bit_length() - 1)
+            total = (tot[:L], tot[L:2 * L], tot[2 * L:])
+            return tuple(jnp.moveaxis(c, -1, 0)[..., None] for c in total)
+
         lvl2 = tuple(c.reshape(L, wg, sa).transpose(2, 0, 1)
                      for c in acc1)
 
@@ -432,6 +510,16 @@ class MsmPlan:
     def _msm_jit(self, em, scalar_limbs):
         wx, wy, wz = self._msm_totals_jit(em, scalar_limbs)
         # windows were emitted LSB-first; combine expects MSB-first
+        if self.use14:
+            # whole combine ladder (W windows x c doublings + add) in ONE
+            # kernel launch vs ~280 sequential XLA EC-add dispatches
+            from . import pallas_field as pf
+            L = self.Fq.L
+            tile = get_config().ec_tile
+            g = jnp.concatenate([wx[::-1], wy[::-1], wz[::-1]], axis=1)
+            g = jnp.pad(g, [(0, 0), (0, 0), (0, tile - g.shape[-1])])
+            out = pf.ec_combine14(g, self.window_bits)[..., :1]
+            return (out[:L], out[L:2 * L], out[2 * L:])
         return self._combine_windows(wx[::-1], wy[::-1], wz[::-1])
 
     def msm_device(self, points, scalar_limbs):

@@ -406,6 +406,317 @@ def ec_add(p, q, interpret: bool | None = None):
 
 
 # ---------------------------------------------------------------------------
+# 14-bit lazy-reduction Fq engine (in-kernel).
+#
+# The 16-bit CIOS above is ALU-bound (measured: the fused scan runs at
+# ~1 vector op per cycle) and burns most of its ops on the per-product
+# hi/lo split + roll that u32 exactness forces on 16x16 products.  With
+# 14-bit limbs (L=28, R = 2^392) products are < 2^30, so partial products
+# accumulate RAW into the CIOS workspace and a cheap fold pass runs only
+# every few iterations — ~1.5x fewer vector ops per Montgomery mul, and
+# modular adds become single vector adds (no carry, no conditional
+# subtract) because the representation tolerates lazy values.
+#
+# Conventions:
+#  * a value is (rows, hi, val): (29, T) u32 rows (28 limbs + guard),
+#    per-row bound `hi`, value bound `val` — bounds are PYTHON ints
+#    tracked at trace time, with hard asserts at every overflow hazard;
+#  * the Montgomery radix is R14 = 2^392.  Kernel INPUTS must already be
+#    Montgomery-R14 canonical values (X * 2^392 mod p, < p) packed as
+#    16-bit limbs — produced from the pipeline's Montgomery-R16 form by
+#    ONE XLA-level mul with mont16(2^8) (see ops/msm.py _build_em); the
+#    in-kernel _to14/_from14 are then pure bit regroups.  Kernel outputs
+#    regrouped back to 16-bit limbs read, in R16 terms, as the projective
+#    triple scaled by a uniform 2^8 — projectively the same point, which
+#    every downstream group op accepts and the final X/Z affine division
+#    cancels exactly (the end-to-end MSM result is byte-identical);
+#  * subtraction adds a borrow-lent multiple of p whose limbs dominate
+#    the subtrahend's per-row bound (_m_rep), keeping rows unsigned.
+# ---------------------------------------------------------------------------
+
+L14 = 28
+MASK14 = 0x3FFF
+_Q = FQ_SPEC.modulus
+_N0_14 = (-pow(_Q, -1, 1 << 14)) % (1 << 14)
+_Q14_LIMBS = tuple((_Q >> (14 * j)) & MASK14 for j in range(L14))
+
+
+def _const_rows(limbs, T):
+    """(len(limbs), T) constant built from Python ints (scalar constants
+    fold in Mosaic; captured jnp arrays do not lower)."""
+    rows = [jnp.full((1, T), int(v), jnp.uint32) for v in limbs]
+    return jnp.concatenate(rows, axis=0)
+
+
+class _V14:
+    """A 14-bit-limb value with trace-time bounds."""
+    __slots__ = ("x", "hi", "val")
+
+    def __init__(self, x, hi, val):
+        assert hi < (1 << 32), f"row bound overflow: {hi:#x}"
+        self.x = x      # (L14 + 1, T) rows (top row is carry guard)
+        self.hi = hi    # per-row value bound
+        self.val = val  # value bound (multiple-of-p slack included)
+
+
+from functools import lru_cache as _lru
+
+
+@_lru(maxsize=None)
+def _m_rep(limb_need: int, top_need: int):
+    """Borrow-lent limbs of c*p (c even, minimal) with every limb >=
+    limb_need and the top limb >= top_need: row-wise `m - b` is then
+    non-negative for any subtrahend b with those bounds, and the value
+    added is exactly c*p (= 0 mod p)."""
+    for c in range(2, 8192, 2):
+        v = c * _Q
+        if v >= 1 << (14 * L14):
+            break
+        m = [(v >> (14 * j)) & MASK14 for j in range(L14)]
+        # in_j = units limb j receives from limb j+1 (worth 2^14 each);
+        # limb j must end >= its need after receiving and lending
+        need = [limb_need] * (L14 - 1) + [top_need]
+        inc = [0] * L14
+        prev = 0
+        for j in range(L14 - 1):
+            inc[j] = max(0, -(-(need[j] + prev - m[j]) // (1 << 14)))
+            prev = inc[j]
+        if m[L14 - 1] - inc[L14 - 2] >= need[L14 - 1]:
+            out = [m[j] + (inc[j] << 14) - (inc[j - 1] if j else 0)
+                   for j in range(L14)]
+            assert all(x >= 0 for x in out)
+            assert sum(mm << (14 * j) for j, mm in enumerate(out)) == v
+            return tuple(out), max(out), v
+    raise AssertionError("no borrow-lent representation found")
+
+
+def _fold14(v: _V14) -> _V14:
+    """One lazy-carry fold: rows -> lo14 + (hi lifted one row).  Value
+    unchanged; row bound drops to 2^14 + (hi >> 14)."""
+    x = v.x
+    lo = x & MASK14
+    hi = x >> 14
+    return _V14(lo + _shift_rows_val(hi, 1),
+                (1 << 14) - 1 + (v.hi >> 14), v.val)
+
+
+def _ks14(s):
+    """Kogge-Stone carry on (K, T) rows each <= 2^15 - 1, mask 14."""
+    K = s.shape[0]
+    g = (s >> 14).astype(jnp.uint32)
+    p = ((s & MASK14) == MASK14).astype(jnp.uint32)
+    d = 1
+    while d < K:
+        g = g | (p & _shift_rows_val(g, d))
+        p = p & _shift_rows_val(p, d)
+        d *= 2
+    return (s + _shift_rows_val(g, 1)) & MASK14
+
+
+def _sub_borrow14(a, b_limbs):
+    """Carried (L14, T) a minus constant limbs -> (diff, borrow)."""
+    K = a.shape[0]
+    T = a.shape[1]
+    binv = _const_rows([MASK14 ^ v for v in b_limbs], T)
+    one0 = (jax.lax.broadcasted_iota(jnp.uint32, a.shape, 0)
+            == 0).astype(jnp.uint32)
+    s = a + binv + one0
+    g = (s >> 14).astype(jnp.uint32)
+    p = ((s & MASK14) == MASK14).astype(jnp.uint32)
+    d = 1
+    while d < K:
+        g = g | (p & _shift_rows_val(g, d))
+        p = p & _shift_rows_val(p, d)
+        d *= 2
+    diff = (s + _shift_rows_val(g, 1)) & MASK14
+    borrow = (g[K - 1:K] == 0).astype(jnp.uint32)
+    return diff, borrow
+
+
+_PROFILE_SKIP = 0   # timing probes only (tools/scan_micro.py): 1 = skip
+                    # value cond-subs, 2 = skip output conversion
+
+
+def _reduce14(v: _V14) -> _V14:
+    """Full reduction to carried rows and value < p: fold passes, one
+    Kogge-Stone, then a descending ladder of conditional multiple-of-p
+    subtracts (sub 2^k p while the slack allows — log passes, not
+    val/p)."""
+    while v.hi > (1 << 14) + 1:
+        v = _fold14(v)
+    x = _ks14(v.x)[:L14]
+    val = v.val
+    while val > _Q and _PROFILE_SKIP != 1:
+        ratio = (val - 1) // _Q        # val <= (ratio+1) p
+        k = max(0, ratio.bit_length() - 1)
+        step = _Q << k                 # largest 2^k p below val
+        limbs = tuple((step >> (14 * j)) & MASK14 for j in range(L14))
+        diff, borrow = _sub_borrow14(x, limbs)
+        x = jnp.where(borrow != 0, x, diff)
+        val = max(val - step, step)
+    T = x.shape[1]
+    return _V14(jnp.concatenate([x, jnp.zeros((1, T), jnp.uint32)], axis=0),
+                (1 << 14) - 1, _Q)
+
+
+def _to14(x16):
+    """(24, T) 16-bit limbs of a canonical value v < p -> carried _V14
+    of the SAME integer regrouped into 14-bit limbs (no base change —
+    callers supply Montgomery-R14 values, see module notes)."""
+    rows = []
+    for j in range(L14):
+        b0 = 14 * j
+        i, s = divmod(b0, 16)
+        if i >= 24:
+            rows.append(jnp.zeros_like(x16[0:1]))
+            continue
+        w = x16[i:i + 1] >> s
+        if 16 - s < 14 and i + 1 < 24:
+            w = w | (x16[i + 1:i + 2] << (16 - s))
+        rows.append(w & MASK14)
+    T = x16.shape[1]
+    rows.append(jnp.zeros((1, T), jnp.uint32))
+    return _V14(jnp.concatenate(rows, axis=0), (1 << 14) - 1, _Q)
+
+
+def _from14(v: _V14):
+    """Fully-reduced _V14 -> (24, T) 16-bit limbs of the same integer."""
+    assert v.hi <= (1 << 14) - 1 and v.val <= _Q
+    y = v.x
+    rows = []
+    for j in range(24):
+        b0 = 16 * j
+        i, s = divmod(b0, 14)
+        w = y[i:i + 1] >> s
+        have = 14 - s
+        while have < 16 and i + (have + s) // 14 < L14:
+            nxt = i + (have + s) // 14
+            w = w | (y[nxt:nxt + 1] << have)
+            have += 14
+        rows.append(w & 0xFFFF)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _mul14(a: _V14, b: _V14) -> _V14:
+    """CIOS Montgomery mul in base 2^14: partial products accumulate RAW
+    (no per-product split) with fold passes on a bound-driven schedule.
+
+    Returns a LAZY value (rows thin via two folds, value < ~2p) — no
+    carry chain, no conditional subtract; callers needing canonical form
+    run _reduce14 (the per-step output conversion is the only one)."""
+    assert a.hi * b.hi < (1 << 32), "single product overflows u32"
+    assert a.val * b.val < _Q * (1 << (14 * L14)), "ab/R >= p"
+    T = a.x.shape[1]
+    zrow = jnp.zeros((1, T), jnp.uint32)
+    b_pad = b.x                                    # (29, T), guard zero
+    p_pad = _const_rows(_Q14_LIMBS + (0,), T)
+    acc = jnp.zeros((L14 + 1, T), jnp.uint32)
+    bound = 0
+    growth = a.hi * b.hi + ((1 << 14) - 1) * max(_Q14_LIMBS)
+    for i in range(L14 if _PROFILE_SKIP != 3 else 14):
+        if bound + growth + (bound >> 14) >= (1 << 32):
+            lo = acc & MASK14
+            hi = acc >> 14
+            acc = lo + _shift_rows_val(hi, 1)
+            bound = (1 << 14) - 1 + (bound >> 14)
+        p1 = a.x[i:i + 1] * b_pad
+        acc = acc + p1
+        m = ((acc[0:1] & MASK14) * _N0_14) & MASK14
+        p2 = m * p_pad
+        acc = acc + p2
+        new0 = acc[1:2] + (acc[0:1] >> 14)
+        acc = jnp.concatenate([new0, acc[2:], zrow], axis=0)
+        bound = bound + growth + (bound >> 14)
+    out = _V14(acc, bound, a.val * b.val // (1 << (14 * L14)) + 2 * _Q)
+    while out.hi > (1 << 14) + (1 << 6):
+        out = _fold14(out)
+    return out
+
+
+def _add14(a: _V14, b: _V14) -> _V14:
+    return _V14(a.x + b.x, a.hi + b.hi, a.val + b.val)
+
+
+def _sub14(a: _V14, b: _V14) -> _V14:
+    """a - b via a + (c*p borrow-lent rep - b); b's rows must be within
+    the rep's per-limb domination (asserted via bounds)."""
+    top = min(b.hi, (b.val >> (14 * (L14 - 1))) + 1)
+    limbs, mmax, mval = _m_rep(b.hi, top)
+    T = a.x.shape[1]
+    mrows = _const_rows(limbs + (0,), T)
+    return _V14(a.x + (mrows - b.x), a.hi + mmax, a.val + mval)
+
+
+def _mul12_14(a: _V14) -> _V14:
+    """12*a as lazy adds + one fold (the b3 constant of BLS12-381)."""
+    a2 = _add14(a, a)
+    a4 = _add14(a2, a2)
+    a8 = _add14(a4, a4)
+    return _fold14(_add14(a8, a4))
+
+
+def emit_ec_add_mixed14(p, q2):
+    """Complete MIXED addition (RCB15, a=0) on _V14 values: p projective
+    (x1, y1, z1), q2 strictly affine (x2, y2) carried.  Same group math
+    as emit_ec_add_mixed; ~1.5x fewer vector ops."""
+    x1, y1, z1 = p
+    x2, y2 = q2
+    t0 = _mul14(x1, x2)
+    t1 = _mul14(y1, y2)
+    t3 = _mul14(_add14(x1, y1), _add14(x2, y2))
+    t3 = _fold14(_sub14(t3, _add14(t0, t1)))       # x1y2 + x2y1
+    t4 = _add14(y1, _mul14(y2, z1))                # y1 + y2 z1
+    y3 = _add14(x1, _mul14(x2, z1))                # x1 + x2 z1
+    x3 = _add14(t0, t0)
+    t0 = _add14(x3, t0)                            # 3 x1x2
+    t2 = _mul12_14(z1)                             # b3 z1
+    z3 = _add14(t1, t2)
+    t1 = _fold14(_sub14(t1, t2))
+    y3 = _mul12_14(y3)
+    x3 = _mul14(t4, y3)
+    t2 = _mul14(t3, t1)
+    x3 = _fold14(_sub14(t2, x3))
+    y3 = _mul14(y3, t0)
+    t1 = _mul14(t1, z3)
+    y3 = _add14(t1, y3)
+    t0 = _mul14(t0, t3)
+    z3 = _mul14(z3, t4)
+    z3 = _add14(z3, t0)
+    return x3, _fold14(y3), _fold14(z3)
+
+
+def emit_ec_add14(p, q):
+    """Complete projective addition (RCB15 alg.7, a=0) on _V14 values."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    t0 = _mul14(x1, x2)
+    t1 = _mul14(y1, y2)
+    t2 = _mul14(z1, z2)
+    t3 = _mul14(_add14(x1, y1), _add14(x2, y2))
+    t3 = _fold14(_sub14(t3, _add14(t0, t1)))
+    t4 = _mul14(_add14(y1, z1), _add14(y2, z2))
+    t4 = _fold14(_sub14(t4, _add14(t1, t2)))
+    x3 = _mul14(_add14(x1, z1), _add14(x2, z2))
+    y3 = _fold14(_sub14(x3, _add14(t0, t2)))
+    x3 = _add14(t0, t0)
+    t0 = _add14(x3, t0)
+    t2 = _mul12_14(t2)
+    z3 = _add14(t1, t2)
+    t1 = _fold14(_sub14(t1, t2))
+    y3 = _mul12_14(y3)
+    x3 = _mul14(t4, y3)
+    t2 = _mul14(t3, t1)
+    x3 = _fold14(_sub14(t2, x3))
+    y3 = _mul14(y3, t0)
+    t1 = _mul14(t1, z3)
+    y3 = _add14(t1, y3)
+    t0 = _mul14(t0, t3)
+    z3 = _mul14(z3, t4)
+    z3 = _add14(z3, t0)
+    return x3, _fold14(y3), _fold14(z3)
+
+
+# ---------------------------------------------------------------------------
 # Fused EC scan kernels.
 #
 # The Pippenger chunk scan used to issue chunk_len (=256) separate XLA ops,
@@ -545,6 +856,377 @@ def ec_sum_steps(g, interpret: bool | None = None):
         interpret = _interpret_default()
     consts = jnp.asarray(_ec_scan_consts())
     return _ec_sum_call(steps, lanes, tile, interpret)(g, consts)
+
+
+# ---------------------------------------------------------------------------
+# 14-bit EC scan/sum kernels (drop-in upgrades of the two above; inputs
+# must be Montgomery-R14 canonical — ops/msm.py pre-scales the point table
+# by mont16(2^8), see the 14-bit engine notes).
+# ---------------------------------------------------------------------------
+
+# The scratch accumulator stores CANONICAL rows (carried, < p): the
+# per-step output conversion must fully reduce anyway, and storing the
+# same reduced rows back keeps every in-formula value bound tight for
+# free (a lazy accumulator blew the ab/R < p budget through 12*z1).
+_ONE14_LIMBS = tuple(((1 << 392) % _Q >> (14 * j)) & MASK14
+                     for j in range(L14)) + (0,)
+
+
+def _acc_in(ref):
+    return _V14(ref[:], (1 << 14) - 1, _Q)
+
+
+def _ec_scan_mixed14_kernel(g_ref, o_ref, accx, accy, accz):
+    """S steps per program, ONE stacked (S, 3L, T) output block: on this
+    backend every ADDITIONAL pallas output array costs ~25 ms at the 2^16
+    scan size (measured: 1 output free, 3 outputs +50 ms, one stacked 3L
+    output free again), and blocking S steps per program amortizes the
+    grid machinery's per-program cost."""
+    L = 24
+    T = accx.shape[1]
+    S = g_ref.shape[0]
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        z = jnp.zeros((L14 + 1, T), jnp.uint32)
+        accx[:] = z
+        accy[:] = _const_rows(_ONE14_LIMBS, T)
+        accz[:] = z
+
+    for si in range(S):
+        q = (_to14(g_ref[si, :L]), _to14(g_ref[si, L:]))
+        x3, y3, z3 = emit_ec_add_mixed14(
+            (_acc_in(accx), _acc_in(accy), _acc_in(accz)), q)
+        rx, ry, rz = _reduce14(x3), _reduce14(y3), _reduce14(z3)
+        accx[:] = rx.x
+        accy[:] = ry.x
+        accz[:] = rz.x
+        o_ref[si, :L] = _from14(rx)
+        o_ref[si, L:2 * L] = _from14(ry)
+        o_ref[si, 2 * L:] = _from14(rz)
+
+
+def _scan_steps_block(cl: int) -> int:
+    s = get_config().ec_scan_steps
+    while cl % s:
+        s //= 2
+    return max(s, 1)
+
+
+@lru_cache(maxsize=None)
+def _ec_scan_mixed14_call(cl: int, lanes: int, tile: int, sblk: int,
+                          interpret: bool):
+    L = FQ_SPEC.limbs
+    grid = (lanes // tile, cl // sblk)
+    gs = pl.BlockSpec((sblk, 2 * L, tile), lambda l, s: (s, 0, l),
+                      memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((sblk, 3 * L, tile), lambda l, s: (s, 0, l),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ec_scan_mixed14_kernel,
+        out_shape=jax.ShapeDtypeStruct((cl, 3 * L, lanes), jnp.uint32),
+        grid=grid,
+        in_specs=[gs],
+        out_specs=os,
+        scratch_shapes=[pltpu.VMEM((L14 + 1, tile), jnp.uint32)] * 3,
+        interpret=interpret,
+    )
+
+
+def ec_scan_mixed14(g, interpret: bool | None = None):
+    """14-bit engine version of ec_scan_mixed: g rows must hold
+    Montgomery-R14 canonical (x, y).  Returns ONE stacked (cl, 3L, lanes)
+    array — rows [0:L)=x, [L:2L)=y, [2L:3L)=z — of uniformly-2^8-scaled
+    projective triples in Montgomery-R16 form (group-identical)."""
+    cl, _, lanes = g.shape
+    tile = get_config().ec_tile
+    if interpret is None:
+        interpret = _interpret_default()
+    return _ec_scan_mixed14_call(cl, lanes, tile, _scan_steps_block(cl),
+                                 interpret)(g)
+
+
+def _ec_sum14_kernel(g_ref, o_ref, accx, accy, accz):
+    L = 24
+    T = accx.shape[1]
+    S = g_ref.shape[0]
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        z = jnp.zeros((L14 + 1, T), jnp.uint32)
+        accx[:] = z
+        accy[:] = _const_rows(_ONE14_LIMBS, T)
+        accz[:] = z
+
+    for si in range(S):
+        q = (_to14(g_ref[si, :L]), _to14(g_ref[si, L:2 * L]),
+             _to14(g_ref[si, 2 * L:]))
+        x3, y3, z3 = emit_ec_add14(
+            (_acc_in(accx), _acc_in(accy), _acc_in(accz)), q)
+        rx, ry, rz = _reduce14(x3), _reduce14(y3), _reduce14(z3)
+        accx[:] = rx.x
+        accy[:] = ry.x
+        accz[:] = rz.x
+    o_ref[:L] = _from14(_V14(accx[:], (1 << 14) - 1, _Q))
+    o_ref[L:2 * L] = _from14(_V14(accy[:], (1 << 14) - 1, _Q))
+    o_ref[2 * L:] = _from14(_V14(accz[:], (1 << 14) - 1, _Q))
+
+
+@lru_cache(maxsize=None)
+def _ec_sum14_call(steps: int, lanes: int, tile: int, sblk: int,
+                   interpret: bool):
+    L = FQ_SPEC.limbs
+    grid = (lanes // tile, steps // sblk)
+    gs = pl.BlockSpec((sblk, 3 * L, tile), lambda l, s: (s, 0, l),
+                      memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((3 * L, tile), lambda l, s: (0, l),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ec_sum14_kernel,
+        out_shape=jax.ShapeDtypeStruct((3 * L, lanes), jnp.uint32),
+        grid=grid,
+        in_specs=[gs],
+        out_specs=os,
+        scratch_shapes=[pltpu.VMEM((L14 + 1, tile), jnp.uint32)] * 3,
+        interpret=interpret,
+    )
+
+
+def ec_sum_steps14(g, interpret: bool | None = None):
+    """14-bit engine version of ec_sum_steps (canonical projective rows
+    in).  Returns ONE stacked (3L, lanes) array (x/y/z row groups) of the
+    summed triples, uniformly scaled — group-identical."""
+    steps, _, lanes = g.shape
+    tile = get_config().ec_tile
+    if interpret is None:
+        interpret = _interpret_default()
+    return _ec_sum14_call(steps, lanes, tile, _scan_steps_block(steps),
+                          interpret)(g)
+
+
+# ---------------------------------------------------------------------------
+# 14-bit bucket-phase kernels: the Pippenger tail used to run as ~85
+# separate XLA-level EC launches per window group (Hillis-Steele chunk
+# offsets, the lvl2 bucket sum, NB doublings, the window combine) — each
+# launch costs milliseconds of dispatch + multi-output overhead.  Each
+# kernel below runs its whole phase in ONE launch with stacked I/O.
+# ---------------------------------------------------------------------------
+
+
+def _split14(st):
+    """(3L, T) canonical 16-bit coordinate rows -> three carried _V14."""
+    L = 24
+    return (_to14(st[:L]), _to14(st[L:2 * L]), _to14(st[2 * L:]))
+
+
+def _full_add_rows(rows, q):
+    """rows: (x, y, z) canonical 14-limb row arrays; q: _V14 triple.
+    One complete add; returns reduced row arrays."""
+    p = tuple(_V14(r, (1 << 14) - 1, _Q) for r in rows)
+    x3, y3, z3 = emit_ec_add14(p, q)
+    return (_reduce14(x3).x, _reduce14(y3).x, _reduce14(z3).x)
+
+
+def _dbl_rows(rows):
+    p = tuple(_V14(r, (1 << 14) - 1, _Q) for r in rows)
+    x3, y3, z3 = emit_ec_add14(p, p)
+    return (_reduce14(x3).x, _reduce14(y3).x, _reduce14(z3).x)
+
+
+def _store_rows(o_ref, rows, idx=None):
+    L = 24
+    groups = [(slice(0, L),), (slice(L, 2 * L),), (slice(2 * L, 3 * L),)]
+    for (gslice,), r in zip(groups, rows):
+        v = _from14(_V14(r, (1 << 14) - 1, _Q))
+        if idx is None:
+            o_ref[gslice] = v
+        else:
+            o_ref[idx, gslice] = v
+
+
+def _ec_scan_excl14_kernel(g_ref, o_ref, accx, accy, accz):
+    """Exclusive prefix scan of complete adds along the step axis (the
+    distributed chunk-offset pass): out[s] = sum of g[0..s)."""
+    L = 24
+    T = accx.shape[1]
+    S = g_ref.shape[0]
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        z = jnp.zeros((L14 + 1, T), jnp.uint32)
+        accx[:] = z
+        accy[:] = _const_rows(_ONE14_LIMBS, T)
+        accz[:] = z
+
+    for si in range(S):
+        _store_rows(o_ref, (accx[:], accy[:], accz[:]), idx=si)
+        q = _split14(g_ref[si])
+        rx, ry, rz = _full_add_rows((accx[:], accy[:], accz[:]), q)
+        accx[:] = rx
+        accy[:] = ry
+        accz[:] = rz
+
+
+@lru_cache(maxsize=None)
+def _ec_scan_excl14_call(steps: int, lanes: int, tile: int, sblk: int,
+                         interpret: bool):
+    L = FQ_SPEC.limbs
+    grid = (lanes // tile, steps // sblk)
+    gs = pl.BlockSpec((sblk, 3 * L, tile), lambda l, s: (s, 0, l),
+                      memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((sblk, 3 * L, tile), lambda l, s: (s, 0, l),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ec_scan_excl14_kernel,
+        out_shape=jax.ShapeDtypeStruct((steps, 3 * L, lanes), jnp.uint32),
+        grid=grid,
+        in_specs=[gs],
+        out_specs=os,
+        scratch_shapes=[pltpu.VMEM((L14 + 1, tile), jnp.uint32)] * 3,
+        interpret=interpret,
+    )
+
+
+def ec_scan_excl14(g, interpret: bool | None = None):
+    """g (steps, 3L, lanes) canonical projective rows -> stacked
+    (steps, 3L, lanes) EXCLUSIVE prefix sums (identity at step 0)."""
+    steps, _, lanes = g.shape
+    tile = min(get_config().ec_tile, lanes)
+    if interpret is None:
+        interpret = _interpret_default()
+    return _ec_scan_excl14_call(steps, lanes, tile, _scan_steps_block(steps),
+                                interpret)(g)
+
+
+def _ec_add14_kernel(a_ref, b_ref, o_ref):
+    x3, y3, z3 = emit_ec_add14(_split14(a_ref[:]), _split14(b_ref[:]))
+    _store_rows(o_ref, (_reduce14(x3).x, _reduce14(y3).x, _reduce14(z3).x))
+
+
+@lru_cache(maxsize=None)
+def _ec_add14_call(lanes: int, tile: int, interpret: bool):
+    L = FQ_SPEC.limbs
+    bs = pl.BlockSpec((3 * L, tile), lambda l: (0, l),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ec_add14_kernel,
+        out_shape=jax.ShapeDtypeStruct((3 * L, lanes), jnp.uint32),
+        grid=(lanes // tile,),
+        in_specs=[bs, bs],
+        out_specs=bs,
+        interpret=interpret,
+    )
+
+
+def ec_add14(a, b, interpret: bool | None = None):
+    """Complete add of stacked (3L, lanes) canonical projective rows ->
+    stacked (3L, lanes), ONE launch, ONE output buffer."""
+    _, lanes = a.shape
+    cfg = get_config()
+    tile = min(cfg.ec_tile, lanes)
+    pad = (-lanes) % tile
+    if interpret is None:
+        interpret = _interpret_default()
+    if pad:
+        a = jnp.pad(a, [(0, 0), (0, pad)])
+        b = jnp.pad(b, [(0, 0), (0, pad)])
+    out = _ec_add14_call(lanes + pad, tile, interpret)(a, b)
+    return out[..., :lanes] if pad else out
+
+
+def _ec_double_add14_kernel(a_ref, b_ref, o_ref, *, k):
+    """out = 2^k * a + b (the NB * full_sum - sum term of the weighted
+    bucket reduction; the caller negates b up front)."""
+    rows = tuple(v.x for v in _split14(a_ref[:]))
+
+    def body(i, rows):
+        return _dbl_rows(rows)
+
+    rows = jax.lax.fori_loop(0, k, body, rows)
+    x3, y3, z3 = emit_ec_add14(
+        tuple(_V14(r, (1 << 14) - 1, _Q) for r in rows),
+        _split14(b_ref[:]))
+    _store_rows(o_ref, (_reduce14(x3).x, _reduce14(y3).x, _reduce14(z3).x))
+
+
+@lru_cache(maxsize=None)
+def _ec_double_add14_call(lanes: int, tile: int, k: int, interpret: bool):
+    L = FQ_SPEC.limbs
+    bs = pl.BlockSpec((3 * L, tile), lambda l: (0, l),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_ec_double_add14_kernel, k=k),
+        out_shape=jax.ShapeDtypeStruct((3 * L, lanes), jnp.uint32),
+        grid=(lanes // tile,),
+        in_specs=[bs, bs],
+        out_specs=bs,
+        interpret=interpret,
+    )
+
+
+def ec_double_add14(a, b, k: int, interpret: bool | None = None):
+    """Stacked canonical (3L, lanes): 2^k * a + b in ONE launch (the
+    doublings run in an in-kernel fori_loop — one add instantiation)."""
+    _, lanes = a.shape
+    cfg = get_config()
+    tile = min(cfg.ec_tile, lanes)
+    pad = (-lanes) % tile
+    if interpret is None:
+        interpret = _interpret_default()
+    if pad:
+        a = jnp.pad(a, [(0, 0), (0, pad)])
+        b = jnp.pad(b, [(0, 0), (0, pad)])
+    out = _ec_double_add14_call(lanes + pad, tile, k, interpret)(a, b)
+    return out[..., :lanes] if pad else out
+
+
+def _ec_combine14_kernel(g_ref, o_ref, *, wbits):
+    """MSB-first window combine: acc = 2^wbits * acc + T_w over the
+    window axis of g (W, 3L, T) — the whole ladder in ONE launch."""
+    W = g_ref.shape[0]
+    T = g_ref.shape[2]
+    zrow = jnp.zeros((L14 + 1, T), jnp.uint32)
+    one = _const_rows(_ONE14_LIMBS, T)
+    rows0 = (zrow, one, zrow)
+
+    def outer(w, rows):
+        def dbl(i, r):
+            return _dbl_rows(r)
+
+        rows = jax.lax.fori_loop(0, wbits, dbl, rows)
+        tw = _split14(g_ref[w])
+        return _full_add_rows(rows, tw)
+
+    rows = jax.lax.fori_loop(0, W, outer, rows0)
+    _store_rows(o_ref, rows)
+
+
+@lru_cache(maxsize=None)
+def _ec_combine14_call(nwin: int, lanes: int, wbits: int, interpret: bool):
+    L = FQ_SPEC.limbs
+    gs = pl.BlockSpec((nwin, 3 * L, lanes), lambda: (0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((3 * L, lanes), lambda: (0, 0),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_ec_combine14_kernel, wbits=wbits),
+        out_shape=jax.ShapeDtypeStruct((3 * L, lanes), jnp.uint32),
+        in_specs=[gs],
+        out_specs=os,
+        interpret=interpret,
+    )
+
+
+def ec_combine14(g, wbits: int, interpret: bool | None = None):
+    """g (W, 3L, lanes) canonical, windows MSB-first -> (3L, lanes)
+    combined acc = sum_w 2^(wbits*(W-1-w)) T_w."""
+    nwin, _, lanes = g.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    return _ec_combine14_call(nwin, lanes, wbits, interpret)(g)
 
 
 def _mul_kernel(a_ref, b_ref, c_ref, o_ref):

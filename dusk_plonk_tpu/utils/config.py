@@ -30,6 +30,15 @@ class TpuPlonkConfig:
     # --- Pallas kernels (ops/pallas_field.py) ----------------------------
     mul_tile: int = 1024            # Montgomery-mul lane tile
     ec_tile: int = 128              # fused EC-add lane tile (register bound)
+    ec_limb14: bool = True          # 14-bit lazy-reduction engine for the
+                                    # fused EC scan/sum kernels (~1.5x
+                                    # fewer vector ops than 16-bit CIOS)
+    ec_limb14_force: bool = False   # run the 14-bit kernels off-TPU too
+                                    # (interpret mode; CPU tests)
+    ec_scan_steps: int = 8          # scan steps per pallas program (the
+                                    # grid machinery costs ~7.4 us per
+                                    # program, measured; blocking divides
+                                    # that fixed cost by S)
 
     # --- quotient grid (proving/engine.py) --------------------------------
     quotient_chunks_large: int = 16  # 8n-domain split when n8 > 2^15
