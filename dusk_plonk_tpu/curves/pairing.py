@@ -88,14 +88,33 @@ def pairing(p, q):
     return final_exponentiation(miller_loop([(p, q)]))
 
 
+_G2_PREPARE_CACHE: dict = {}
+
+
 def multi_pairing_is_one(pairs) -> bool:
     """multi_miller_loop(pairs).final_exp() == Gt identity — the exact
     shape of the reference's batch_check (src/commitment_scheme.rs:56-62).
 
     Routed through the native C++ engine when available (differential-tested
     against this module's Python path in tests/test_native.py); the Python
-    path is the fallback oracle."""
+    path is the fallback oracle.  G2 line coefficients are prepared once
+    per point and cached (the verifier's h / beta_h never change —
+    the reference's prepared_h / prepared_beta_h design,
+    src/commitment_scheme.rs:51-58): the unprepared affine Miller loop
+    pays a ~380-mul Fq2 inversion per step per pair (~18 ms for the
+    2-pair check, measured); the prepared replay is ~1 ms."""
     from .. import native
     if native.available():
+        if native.has_prepared_pairing():
+            prepared = []
+            for _, q in pairs:
+                pre = _G2_PREPARE_CACHE.get(q)
+                if pre is None:
+                    pre = native.g2_prepare(q)
+                    if len(_G2_PREPARE_CACHE) < 64:
+                        _G2_PREPARE_CACHE[q] = pre
+                prepared.append(pre)
+            return native.pairing_is_one_prepared(
+                [p for p, _ in pairs], prepared)
         return native.pairing_is_one(pairs)
     return final_exponentiation(miller_loop(pairs)) == FQ12_ONE

@@ -67,6 +67,18 @@ def lib():
         L.dn_g1_combine_windows.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_char_p]
+    if hasattr(L, "dn_g2_prepare"):
+        L.dn_miller_nsteps.restype = ctypes.c_int64
+        L.dn_g2_prepare.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
+        L.dn_g2_prepare.restype = ctypes.c_int64
+        L.dn_miller_loop_prepared.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p]
+        L.dn_pairing_is_one_prepared.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int64]
+        L.dn_pairing_is_one_prepared.restype = ctypes.c_int
     _lib = L
     return _lib
 
@@ -236,3 +248,56 @@ def pairing_is_one(pairs) -> bool:
     g1, g1i, g2, g2i, n = _pack_pairs(pairs)
     he = int(_HARD_EXP).to_bytes((_HARD_EXP.bit_length() + 7) // 8, "little")
     return bool(lib().dn_pairing_is_one(g1, g1i, g2, g2i, n, he, len(he)))
+
+
+# -- prepared-G2 pairing (reference EvaluationKey's prepared_h /
+#    prepared_beta_h, src/commitment_scheme.rs:51-58) ----------------------
+
+_LINESTEP = 288  # sizeof(LineStep): 3 Fq2 x 96B, raw Montgomery (opaque)
+
+
+def has_prepared_pairing() -> bool:
+    return available() and hasattr(lib(), "dn_g2_prepare")
+
+
+def miller_nsteps() -> int:
+    return int(lib().dn_miller_nsteps())
+
+
+def g2_prepare(q) -> bytes:
+    """Precompute the Miller-loop line coefficients of a fixed G2 point
+    (one ~18 ms affine loop, paid once per verification key); returns an
+    opaque buffer for pairing_is_one_prepared.  b'' for the identity."""
+    if q is None:
+        return b""
+    (x0, x1), (y0, y1) = q
+    raw = (int(x0).to_bytes(48, "little") + int(x1).to_bytes(48, "little")
+           + int(y0).to_bytes(48, "little") + int(y1).to_bytes(48, "little"))
+    out = ctypes.create_string_buffer(miller_nsteps() * _LINESTEP)
+    k = lib().dn_g2_prepare(raw, 0, ctypes.cast(out, ctypes.c_char_p))
+    assert k == miller_nsteps()
+    return out.raw
+
+
+def pairing_is_one_prepared(g1_points, prepared) -> bool:
+    """Batched pairing-identity check with prepared G2 line buffers
+    (g2_prepare); pure Fq12 accumulation — no per-step inversions."""
+    from ..curves.pairing import _HARD_EXP  # noqa: F401  (parity w/ slow path)
+    n = len(g1_points)
+    assert len(prepared) == n
+    g1buf = bytearray(96 * n)
+    g1inf = bytearray(n)
+    active = bytearray(n)
+    lines = bytearray(miller_nsteps() * _LINESTEP * n)
+    for i, (p, pre) in enumerate(zip(g1_points, prepared)):
+        if p is None:
+            g1inf[i] = 1
+        else:
+            g1buf[96 * i:96 * i + 48] = int(p[0]).to_bytes(48, "little")
+            g1buf[96 * i + 48:96 * i + 96] = int(p[1]).to_bytes(48, "little")
+        if pre:
+            active[i] = 1
+            off = i * miller_nsteps() * _LINESTEP
+            lines[off:off + len(pre)] = pre
+    return bool(lib().dn_pairing_is_one_prepared(
+        bytes(g1buf), bytes(g1inf), bytes(lines), bytes(active), n))

@@ -415,9 +415,41 @@ extern "C" void dn_g1_msm(const uint8_t* points, const uint8_t* inf, const uint8
   }
   if (pts.empty()) { *out_inf = 1; return; }
   int64_t m = (int64_t)pts.size();
+  if (m <= 32) {
+    // Straus with shared doublings (the verifier's MSMs are 2-13 points:
+    // Pippenger's per-window bucket reduction is pure overhead there —
+    // ~2700 vs ~1200 group ops, measured in the verify profile)
+    std::vector<G1> table(m * 15);   // table[i*15 + d-1] = d * P_i
+    for (int64_t i = 0; i < m; i++) {
+      table[i * 15] = pts[i];
+      for (int d = 1; d < 15; d++)
+        g1_add(table[i * 15 + d], table[i * 15 + d - 1], pts[i]);
+    }
+    G1 acc;
+    memset(&acc, 0, sizeof(acc));
+    for (int w = 63; w >= 0; w--) {
+      for (int d = 0; d < 4; d++) g1_double(acc, acc);
+      for (int64_t i = 0; i < m; i++) {
+        int dgt = (scs[i][w / 2] >> ((w & 1) ? 4 : 0)) & 0xF;
+        if (dgt) g1_add(acc, acc, table[i * 15 + dgt - 1]);
+      }
+    }
+    if (is_zero6(acc.z)) { *out_inf = 1; return; }
+    *out_inf = 0;
+    u64 zi[6], zi2[6], t[6];
+    fq_inv(zi, acc.z);
+    mont_sqr<6>(zi2, zi, FQ);
+    mont_mul<6>(t, acc.x, zi2, FQ);
+    fq_from_mont(t, t);
+    store6(out_xy, t);
+    mont_mul<6>(t, acc.y, zi2, FQ);
+    mont_mul<6>(t, t, zi, FQ);
+    fq_from_mont(t, t);
+    store6(out_xy + 48, t);
+    return;
+  }
   int c;
-  if (m < 32) c = 4;
-  else {
+  {
     int bl = 0;
     int64_t t = m;
     while (t) { bl++; t >>= 1; }
@@ -1033,7 +1065,160 @@ extern "C" void dn_final_exp(const uint8_t* in576, const uint8_t* hard_exp,
 }
 
 // one-call pairing product check: product of e(Pi, Qi) == 1?
+// ---------------------------------------------------------------------------
+// Prepared-G2 pairing (the reference's EvaluationKey carries prepared_beta_h
+// / prepared_h, src/commitment_scheme.rs:51-58).  The affine Miller loop
+// above pays one Fq2 inversion (a ~380-mul Fermat ladder) per step per
+// pair; the verifier's G2 points never change, so the per-step
+// (lambda, x_T, y_T) line coefficients are computed ONCE per key and
+// replayed — the prepared loop is pure Fq12 accumulation.
+// ---------------------------------------------------------------------------
+
+struct LineStep { Fq2v lam, xt, yt; };  // 288 bytes, raw Montgomery
+
+static int64_t miller_nsteps() {
+  int top = 63;
+  while (!((BLS_X_ABS >> top) & 1)) top--;
+  int64_t n = 0;
+  for (int b = top - 1; b >= 0; b--) {
+    n++;
+    if ((BLS_X_ABS >> b) & 1) n++;
+  }
+  return n;
+}
+
+static int64_t prepare_lines(const Fq2v& xq, const Fq2v& yq, LineStep* out) {
+  Fq2v xt = xq, yt = yq;
+  int64_t k = 0;
+  int top = 63;
+  while (!((BLS_X_ABS >> top) & 1)) top--;
+  for (int b = top - 1; b >= 0; b--) {
+    {
+      Fq2v num, num3, den, lam, x3, y3, t;
+      fq2_sqv(num, xt);
+      fq2_addv(num3, num, num);
+      fq2_addv(num3, num3, num);
+      fq2_addv(den, yt, yt);
+      fq2_invv(den, den);
+      fq2_mulv(lam, num3, den);
+      out[k].lam = lam; out[k].xt = xt; out[k].yt = yt; k++;
+      fq2_sqv(x3, lam);
+      fq2_subv(x3, x3, xt);
+      fq2_subv(x3, x3, xt);
+      fq2_subv(t, xt, x3);
+      fq2_mulv(y3, lam, t);
+      fq2_subv(y3, y3, yt);
+      xt = x3; yt = y3;
+    }
+    if ((BLS_X_ABS >> b) & 1) {
+      Fq2v dy, dx, lam, x3, y3, t;
+      fq2_subv(dy, yq, yt);
+      fq2_subv(dx, xq, xt);
+      fq2_invv(dx, dx);
+      fq2_mulv(lam, dy, dx);
+      out[k].lam = lam; out[k].xt = xt; out[k].yt = yt; k++;
+      fq2_sqv(x3, lam);
+      fq2_subv(x3, x3, xt);
+      fq2_subv(x3, x3, xq);
+      fq2_subv(t, xt, x3);
+      fq2_mulv(y3, lam, t);
+      fq2_subv(y3, y3, yt);
+      xt = x3; yt = y3;
+    }
+  }
+  return k;
+}
+
+extern "C" int64_t dn_miller_nsteps() { return miller_nsteps(); }
+
+extern "C" int64_t dn_g2_prepare(const uint8_t* g2xy, int64_t g2inf,
+                                 uint8_t* out) {
+  // out: miller_nsteps() * 288 bytes of raw-Montgomery LineStep records
+  // (opaque to callers; consumed by dn_miller_loop_prepared only)
+  ensure_init();
+  if (g2inf) return 0;
+  Fq2v xq, yq;
+  u64 t[6];
+  load6(t, g2xy); fq_to_mont(xq.c0, t);
+  load6(t, g2xy + 48); fq_to_mont(xq.c1, t);
+  load6(t, g2xy + 96); fq_to_mont(yq.c0, t);
+  load6(t, g2xy + 144); fq_to_mont(yq.c1, t);
+  return prepare_lines(xq, yq, (LineStep*)out);
+}
+
+static void line_acc_prepared(Fq12v& f, const u64* xp, const u64* yp,
+                              const LineStep& s) {
+  Fq12v l;
+  memset(&l, 0, sizeof(l));
+  memcpy(l.c0.c0.c0, yp, 48);
+  memcpy(l.c0.c0.c1, yp, 48);
+  Fq2v t;
+  fq2_mulv(t, s.lam, s.xt);
+  fq2_subv(l.c1.c1, t, s.yt);
+  fq2_mul_fq(t, s.lam, xp);
+  fq2_negv(l.c1.c2, t);
+  Fq12v o;
+  fq12_mulv(o, f, l);
+  f = o;
+}
+
+extern "C" void dn_miller_loop_prepared(const uint8_t* g1xy,
+                                        const uint8_t* g1inf,
+                                        const uint8_t* lines,
+                                        const uint8_t* active,
+                                        int64_t npairs, uint8_t* out) {
+  ensure_init();
+  frob_init();
+  int64_t nsteps = miller_nsteps();
+  struct PPair { u64 xp[6], yp[6]; const LineStep* ls; };
+  std::vector<PPair> mps;
+  for (int64_t i = 0; i < npairs; i++) {
+    if (!active[i] || g1inf[i]) continue;
+    PPair p;
+    u64 t[6];
+    load6(t, g1xy + i * 96); fq_to_mont(p.xp, t);
+    load6(t, g1xy + i * 96 + 48); fq_to_mont(p.yp, t);
+    p.ls = (const LineStep*)(lines + i * nsteps * (int64_t)sizeof(LineStep));
+    mps.push_back(p);
+  }
+  Fq12v f;
+  memset(&f, 0, sizeof(f));
+  memcpy(f.c0.c0.c0, FQ.one, 48);
+  int top = 63;
+  while (!((BLS_X_ABS >> top) & 1)) top--;
+  int64_t k = 0;
+  for (int b = top - 1; b >= 0; b--) {
+    Fq12v fs;
+    fq12_sqv(fs, f);
+    f = fs;
+    for (auto& p : mps) line_acc_prepared(f, p.xp, p.yp, p.ls[k]);
+    k++;
+    if ((BLS_X_ABS >> b) & 1) {
+      for (auto& p : mps) line_acc_prepared(f, p.xp, p.yp, p.ls[k]);
+      k++;
+    }
+  }
+  Fq12v fc;
+  fq12_conjv(fc, f);
+  fq12_store(out, fc);
+}
+
 extern "C" void dn_final_exp_fast(const uint8_t* in576, uint8_t* out576);
+
+extern "C" int dn_pairing_is_one_prepared(const uint8_t* g1xy,
+                                          const uint8_t* g1inf,
+                                          const uint8_t* lines,
+                                          const uint8_t* active,
+                                          int64_t npairs) {
+  uint8_t mid[576], fin[576];
+  dn_miller_loop_prepared(g1xy, g1inf, lines, active, npairs, mid);
+  dn_final_exp_fast(mid, fin);
+  static const uint8_t one48[48] = {1};
+  if (memcmp(fin, one48, 48) != 0) return 0;
+  for (int i = 48; i < 576; i++)
+    if (fin[i]) return 0;
+  return 1;
+}
 
 extern "C" int dn_pairing_is_one(const uint8_t* g1xy, const uint8_t* g1inf,
                                  const uint8_t* g2xy, const uint8_t* g2inf,

@@ -80,3 +80,47 @@ def test_ntt_matches_python():
     assert native.fr_scale_geo(vals, 7, 3) == \
         [v * 7 % R_MOD * pow(3, i, R_MOD) % R_MOD
          for i, v in enumerate(vals)]
+
+
+def test_prepared_pairing_matches_unprepared():
+    """dn_g2_prepare + dn_pairing_is_one_prepared vs the affine-loop path
+    (the prepared form is the production verifier path; reference
+    EvaluationKey prepared_h/prepared_beta_h, commitment_scheme.rs:51-58)."""
+    from dusk_plonk_tpu.curves import bls
+    from dusk_plonk_tpu.curves.pairing import multi_pairing_is_one
+    import random
+    rnd = random.Random(11)
+    assert native.has_prepared_pairing()
+    g1, g2 = bls.G1_GENERATOR, bls.G2_GENERATOR
+    k = rnd.randrange(2, 1 << 200)
+    kP = bls.g1_mul(g1, k)
+    kQ = bls.g2_mul(g2, k)
+    cases = [
+        ([(kP, g2), (bls.g1_neg(g1), kQ)], True),
+        ([(kP, g2), (g1, kQ)], False),
+        ([(None, g2), (kP, g2), (bls.g1_neg(g1), kQ)], True),
+    ]
+    for pairs, expect in cases:
+        pre = [native.g2_prepare(q) for _, q in pairs]
+        got = native.pairing_is_one_prepared([p for p, _ in pairs], pre)
+        assert got == expect
+        assert native.pairing_is_one(pairs) == expect
+        assert multi_pairing_is_one(pairs) == expect
+
+
+def test_small_msm_straus_matches_oracle():
+    """The m<=32 Straus branch of dn_g1_msm (the verifier's MSM sizes)."""
+    from dusk_plonk_tpu.curves import bls
+    from dusk_plonk_tpu.fields.constants import R_MOD
+    import random
+    rnd = random.Random(13)
+    for m in (1, 2, 9, 13, 32):
+        pts = [bls.g1_mul(bls.G1_GENERATOR, rnd.randrange(2, 1 << 60))
+               for _ in range(m)]
+        scal = [rnd.randrange(R_MOD) for _ in range(m)]
+        scal[0] = 0
+        acc = None
+        for p, s in zip(pts, scal):
+            q = bls.g1_mul(p, s)
+            acc = q if acc is None else bls.g1_add(acc, q)
+        assert native.g1_msm(pts, scal) == acc
