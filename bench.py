@@ -316,6 +316,17 @@ def bench_proof():
     except Exception as e:  # pragma: no cover
         print(f"throughput metrics failed: {e}", file=sys.stderr, flush=True)
 
+    # projected multi-chip efficiency (BASELINE.md north star; model
+    # validated against the mesh collective counters,
+    # tests/test_scaling_model.py / docs/notes-scaling.md)
+    try:
+        from dusk_plonk_tpu.parallel.model import projected_efficiency
+        print(json.dumps({"scaling_model": [
+            projected_efficiency(20, 8), projected_efficiency(24, 64)]}),
+            file=sys.stderr, flush=True)
+    except Exception:  # pragma: no cover
+        pass
+
     baseline = 7.871  # reference M1 seconds at 2^16
     # the headline stdout line FIRST (the driver contract), the optional
     # large-config stage after it on stderr

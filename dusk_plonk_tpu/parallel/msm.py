@@ -194,6 +194,11 @@ class ShardedMsm:
         for s in range(0, B + pad, M):
             tracer.count("msm_dispatch")
             tracer.count("msm_points", self.n * M)
+            # all-gathered per-device window partials (a few KB)
+            w = self.plan.num_windows if self.plan is not None else 1
+            tracer.count("collective_ops", 3)
+            tracer.count("collective_bytes",
+                         3 * M * w * 24 * 4 * (self.d - 1) * self.d)
             coords, inf = self._fn(px, py, pz, limbs_stack[s:s + M])
             coords = np.asarray(jax.device_get(coords)).astype("<u2")
             inf = np.asarray(jax.device_get(inf))

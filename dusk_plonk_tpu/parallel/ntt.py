@@ -184,5 +184,12 @@ def distributed_ntt(mesh: Mesh, axis: str, x, k: int, kind: str = "dft"):
     plan = dist_ntt_plan(d, k)
     tb = plan.tables(kind)
     fn = _dist_ntt_fn(mesh, axis, k, x.ndim == 3)
+    # collective-traffic accounting (docs/notes-scaling.md): the
+    # all-to-all moves (D-1)/D of the array across links once; the
+    # all-gather delivers (D-1)/D of the array to each of D devices
+    from ..utils.tracing import tracer
+    tracer.count("collective_ops", 2)
+    tracer.count("collective_bytes",
+                 x.nbytes * (d - 1) // d + x.nbytes * (d - 1))
     return fn(x, tb["mid"], tb["outer"], tb["pre"], tb["post"],
               tb["inner_tw"], tb["inner_pre"], tb["inner_post"])

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from math import prod as np_prod
+
 from ..ops.ntt import ntt_plan
 from ..ops.limb import fr_field
 from ..ops.ec import device_g1
@@ -86,6 +88,11 @@ def msm_point_partitioned(mesh: Mesh, axis: str, points, scalar_limbs):
         in_specs=(spec_pt, spec_pt, spec_pt, spec_pt),
         out_specs=(spec_out, spec_out, spec_out),
         check_vma=False)
+    from ..utils.tracing import tracer
+    d = mesh.shape[axis]
+    tracer.count("collective_ops", 3)
+    tracer.count("collective_bytes",
+                 3 * plan.num_windows * 24 * 4 * (d - 1) * d)
     return fn(px, py, pz, scalar_limbs)
 
 
@@ -201,6 +208,12 @@ def grand_product_sharded(mesh: Mesh, axis: str, ratio):
             offs, jax.lax.axis_index(axis), 0, keepdims=False)
         return F.mul(local, off)
 
+    from ..utils.tracing import tracer
+    d = mesh.shape[axis]
+    tracer.count("collective_ops", 1)
+    # all-gather of one (..., L, 1) shard total per device
+    tracer.count("collective_bytes",
+                 int(np_prod(ratio.shape[:-1])) * 4 * (d - 1) * d)
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(None, axis),) if ratio.ndim == 2 else
