@@ -358,12 +358,20 @@ def _maybe_bench_2e20(k_main, wall0):
         return
     try:
         import gc
+        import signal
         import jax
         from dusk_plonk_tpu.prelude import ChaCha12Rng
         gc.collect()
+
+        def _alarm(signum, frame):
+            raise TimeoutError("2^20 stage wall-clock bound hit")
+
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(os.environ.get("BENCH_2E20_ALARM", 1800)))
         rng = ChaCha12Rng.seed_from_u64(8349)
         best, prover, verifier, proof, pis = _bench_proof_at(
             20, rng, timed_reps=1)
+        signal.alarm(0)
         if prover.engine is not None and \
                 getattr(prover.engine, "last_timings", None):
             print(json.dumps({"round_seconds_2e20": {

@@ -92,9 +92,13 @@ class MsmPlan:
                                       # nb*full_sum term
         if window_group is None:
             # cap gathered-point memory (config: msm_group_slots point-slots
-            # per group)
+            # per group); at >= 2^20 points even one window's gather/scan
+            # working set is ~1.3 GB — single-window groups under the
+            # lax.scan group loop keep the reused buffer set minimal
             window_group = max(
                 1, min(self.num_windows, cfg.msm_group_slots // max(n, 1)))
+            if n >= (1 << 20):
+                window_group = 1
         while self.num_windows % window_group:
             window_group -= 1
         self.wg = window_group
@@ -209,7 +213,7 @@ class MsmPlan:
         device table ONCE; pass the result wherever `points` is accepted.
         Skips ~25 ms of per-dispatch table rebuilding (neg + transpose).
         The serial tier consumes raw coordinate tuples: no-op there."""
-        if self.serial:
+        if self.serial or self._is_em(points):
             return points
         if self._prep_fn is None:
             self._prep_fn = jax.jit(self._build_em)
@@ -275,13 +279,17 @@ class MsmPlan:
         g = g.reshape(cl, 2 * L, wg * nc)
         lanes0 = wg * nc
         psc = None
+        psc_em = None
         if self.use_pallas_scan:
             # whole chunk scan in ONE pallas launch (VMEM-carried
             # accumulator): the per-step XLA scan below costs ~55 ms per
             # 2^16 MSM against a ~21 ms VPU floor (launch + carry HBM
             # round-trip per step)
             from . import pallas_field as pf
-            if self.use14:
+            if self.use14 and get_config().ec_scan_em:
+                psc_em = pf.ec_scan_mixed14_em(g)        # (cl, lanes, 3L)
+                ps = None
+            elif self.use14:
                 psc = pf.ec_scan_mixed14(g)              # (cl, 3L, Wg*nc)
                 ps = (psc[:, :L], psc[:, L:2 * L], psc[:, 2 * L:])
             else:
@@ -310,8 +318,12 @@ class MsmPlan:
             from . import pallas_field as pf
             cfg14 = get_config()
             wpad = -(-wg // cfg14.ec_tile) * cfg14.ec_tile
-            last3 = psc[-1].reshape(3 * L, wg, nc)       # (3L, wg, nc)
-            seq = jnp.transpose(last3, (2, 0, 1))        # (nc, 3L, wg)
+            if psc_em is not None:
+                seq = jnp.transpose(
+                    psc_em[-1].reshape(wg, nc, 3 * L), (1, 2, 0))
+            else:
+                last3 = psc[-1].reshape(3 * L, wg, nc)   # (3L, wg, nc)
+                seq = jnp.transpose(last3, (2, 0, 1))    # (nc, 3L, wg)
             seq = jnp.pad(seq, [(0, 0), (0, 0), (0, wpad - wg)])
             off_seq = pf.ec_scan_excl14(seq)             # (nc, 3L, wpad)
             offsets_st = jnp.transpose(
@@ -361,10 +373,15 @@ class MsmPlan:
         # from the (cl, 3L, lanes) layout regressed the vmapped B=4
         # commit batch 13x, measured)
         lanes = wg * nc
-        stacked = psc if psc is not None else jnp.concatenate(ps, axis=1)
-        ps_em = jax.lax.optimization_barrier(
-            stacked.transpose(0, 2, 1).reshape(
-                cl * lanes, 3 * L))                      # (cl*lanes, 3L)
+        if psc_em is not None:
+            # the element-major scan already emitted this layout
+            ps_em = psc_em.reshape(cl * lanes, 3 * L)
+        else:
+            stacked = psc if psc is not None else \
+                jnp.concatenate(ps, axis=1)
+            ps_em = jax.lax.optimization_barrier(
+                stacked.transpose(0, 2, 1).reshape(
+                    cl * lanes, 3 * L))                  # (cl*lanes, 3L)
         off_em = jax.lax.optimization_barrier(
             offsets_st.T if offsets_st is not None else
             jnp.concatenate(offsets, axis=0).T)          # (lanes, 3L)
@@ -491,21 +508,31 @@ class MsmPlan:
         table (_build_em): points AFFINE (z = 1, no infinity), pads are
         the GENERATOR with scalar 0 — they sort into bucket 0, which the
         weighted reduction never touches — so the mixed-add scan's z2 = 1
-        precondition holds on every lane."""
+        precondition holds on every lane.
+
+        Window groups run under lax.scan, NOT a Python loop: the unrolled
+        form inlined every group's ~1.5 GB gather/scan buffers into one
+        program and the allocator does not reuse in-program temps — 10
+        groups at 2^20 planned ~15 GB and OOMed the chip (measured)."""
         if self.n_pad != self.n:
             pad = self.n_pad - self.n
             scalar_limbs = jnp.concatenate(
                 [scalar_limbs, jnp.zeros((scalar_limbs.shape[0], pad),
                                          scalar_limbs.dtype)], axis=-1)
         digits = self._digits(scalar_limbs)              # (W, n_pad)
-        totals = []
-        for g in range(0, self.num_windows, self.wg):
-            t = self._window_group_totals(em, digits[g:g + self.wg])
-            totals.append(t)
-        wx = jnp.concatenate([t[0] for t in totals], axis=0)
-        wy = jnp.concatenate([t[1] for t in totals], axis=0)
-        wz = jnp.concatenate([t[2] for t in totals], axis=0)
-        return wx, wy, wz
+        ngroups = self.num_windows // self.wg
+        if ngroups == 1:
+            t = self._window_group_totals(em, digits)
+            return t
+        dg = digits.reshape(ngroups, self.wg, self.n_pad)
+
+        def body(_, d):
+            return None, self._window_group_totals(em, d)
+
+        _, (tx, ty, tz) = jax.lax.scan(body, None, dg)   # (G, wg, L, 1)
+        W, L = self.num_windows, self.Fq.L
+        return (tx.reshape(W, L, 1), ty.reshape(W, L, 1),
+                tz.reshape(W, L, 1))
 
     def _msm_jit(self, em, scalar_limbs):
         wx, wy, wz = self._msm_totals_jit(em, scalar_limbs)

@@ -94,8 +94,8 @@ class NttPlan:
             ti = mxu_ntt.MxuNttTables(k, w_inv)
             self.tw_fwd = {"w2d": tf.w2d, "w1d": tf.w1d, "mid": tf.mid}
             self.tw_inv = {"w2d": ti.w2d, "w1d": ti.w1d, "mid": ti.mid}
-            self.scale_one = F.pack([1] * n)
-            self.scale_n_inv = F.pack([n_inv] * n)
+            self.scale_one = F.pack([1])
+            self.scale_n_inv = F.pack([n_inv])
             self.scale_coset = F.powers_host_base(g, n)
             self.scale_coset_inv = F.powers_host_base(g_inv, n, scale=n_inv)
             self._kernel = jax.jit(self._transform)
@@ -128,11 +128,23 @@ class NttPlan:
             self.tw_fwd = tw_fwd
             self.tw_inv = tw_inv
 
-        self.scale_one = F.pack([1] * n)
-        self.scale_n_inv = F.pack([n_inv] * n)
+        # constant scales as (L, 1) broadcasts — (L, n) copies of "1" and
+        # "1/n" cost 0.5 GB each at the k=23 coset domain
+        self.scale_one = F.pack([1])
+        self.scale_n_inv = F.pack([n_inv])
         self.scale_coset = F.powers_host_base(g, n)
         # coset_idft: iNTT then multiply by g^-i — fold n_inv in
         self.scale_coset_inv = F.powers_host_base(g_inv, n, scale=n_inv)
+
+        # uint16 table storage at big domains: the limb VALUES are 16-bit,
+        # so u32 planes are half padding — at k=23 this returns ~1.6 GB
+        # of HBM (the 2^20 single-chip proof budget); _transform upcasts
+        # per use (transient)
+        if n >= (1 << 22) and not self.stacked:
+            self.tw_fwd = self.tw_fwd.astype(jnp.uint16)
+            self.tw_inv = self.tw_inv.astype(jnp.uint16)
+            self.scale_coset = self.scale_coset.astype(jnp.uint16)
+            self.scale_coset_inv = self.scale_coset_inv.astype(jnp.uint16)
 
         self._kernel = jax.jit(self._transform)
 
@@ -149,6 +161,10 @@ class NttPlan:
             from . import mxu_ntt
             return mxu_ntt.four_step(F, k, data, twiddles,
                                      pre_scale, post_scale)
+        if pre_scale.dtype != jnp.uint32:
+            pre_scale = pre_scale.astype(jnp.uint32)
+        if post_scale.dtype != jnp.uint32:
+            post_scale = post_scale.astype(jnp.uint32)
         x = F.mul(data, pre_scale)
         x = jnp.take(x, self.bitrev, axis=-1)
         if k == 0:
@@ -180,6 +196,8 @@ class NttPlan:
                 idx = jnp.left_shift(iota & (half - 1),
                                      jnp.uint32(k - 1) - su)
                 tw_vec = jnp.take(twiddles, idx, axis=-1)  # (L, n)
+                if tw_vec.dtype != jnp.uint32:
+                    tw_vec = tw_vec.astype(jnp.uint32)
             mask = (iota & half) == 0                      # first half
             t = F.mul(x, tw_vec)
             sh = half.astype(jnp.int32)

@@ -947,6 +947,69 @@ def ec_scan_mixed14(g, interpret: bool | None = None):
                                  interpret)(g)
 
 
+def _ec_scan_mixed14_em_kernel(g_ref, o_ref, accx, accy, accz):
+    """ec_scan_mixed14 with ELEMENT-MAJOR output (cl, lanes, 3L): the
+    bucket phase reads single points (3L contiguous words), and the XLA
+    transpose that produced that layout from the stacked form cost 41 ms
+    per 2^16 MSM (measured) — here it is one small in-kernel transpose
+    per step."""
+    L = 24
+    T = accx.shape[1]
+    S = g_ref.shape[0]
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        z = jnp.zeros((L14 + 1, T), jnp.uint32)
+        accx[:] = z
+        accy[:] = _const_rows(_ONE14_LIMBS, T)
+        accz[:] = z
+
+    for si in range(S):
+        q = (_to14(g_ref[si, :L]), _to14(g_ref[si, L:]))
+        x3, y3, z3 = emit_ec_add_mixed14(
+            (_acc_in(accx), _acc_in(accy), _acc_in(accz)), q)
+        rx, ry, rz = _reduce14(x3), _reduce14(y3), _reduce14(z3)
+        accx[:] = rx.x
+        accy[:] = ry.x
+        accz[:] = rz.x
+        st = jnp.concatenate(
+            [_from14(rx), _from14(ry), _from14(rz)], axis=0)   # (3L, T)
+        o_ref[si] = st.T                                       # (T, 3L)
+
+
+@lru_cache(maxsize=None)
+def _ec_scan_mixed14_em_call(cl: int, lanes: int, tile: int, sblk: int,
+                             interpret: bool):
+    L = FQ_SPEC.limbs
+    grid = (lanes // tile, cl // sblk)
+    gs = pl.BlockSpec((sblk, 2 * L, tile), lambda l, s: (s, 0, l),
+                      memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((sblk, tile, 3 * L), lambda l, s: (s, l, 0),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ec_scan_mixed14_em_kernel,
+        out_shape=jax.ShapeDtypeStruct((cl, lanes, 3 * L), jnp.uint32),
+        grid=grid,
+        in_specs=[gs],
+        out_specs=os,
+        scratch_shapes=[pltpu.VMEM((L14 + 1, tile), jnp.uint32)] * 3,
+        interpret=interpret,
+    )
+
+
+def ec_scan_mixed14_em(g, interpret: bool | None = None):
+    """Element-major-output variant of ec_scan_mixed14: returns
+    (cl, lanes, 3L) — row (c, l) is that position's (x, y, z) point as
+    3L contiguous words (uniformly-2^8-scaled, group-identical)."""
+    cl, _, lanes = g.shape
+    tile = get_config().ec_tile
+    if interpret is None:
+        interpret = _interpret_default()
+    return _ec_scan_mixed14_em_call(cl, lanes, tile, _scan_steps_block(cl),
+                                    interpret)(g)
+
+
 def _ec_sum14_kernel(g_ref, o_ref, accx, accy, accz):
     L = 24
     T = accx.shape[1]

@@ -68,6 +68,11 @@ class DeviceOps:
         return jnp.asarray(self._consts[key])
 
 
+def _u32(x):
+    """Upcast a u16-stored limb table slice (transient, fused by XLA)."""
+    return x.astype(jnp.uint32) if x.dtype != jnp.uint32 else x
+
+
 SEL_ORDER = ("q_m", "q_l", "q_r", "q_o", "q_c", "q_4", "q_arith",
              "q_range", "q_logic", "q_fixed_group_add",
              "q_variable_group_add")
@@ -131,6 +136,9 @@ class DeviceEngine:
             for p in pk.sigma_polys:
                 sig_flat.extend(p)
             sigma_polys = F.pack(sig_flat, shape=(4, n))
+        if self._big:   # u16 limb storage (values are 16-bit; see BIG_N8)
+            sel_polys = sel_polys.astype(jnp.uint16)
+            sigma_polys = sigma_polys.astype(jnp.uint16)
         self.sel_polys = sel_polys
         self.sigma_polys = sigma_polys
 
@@ -144,6 +152,12 @@ class DeviceEngine:
         self._build_tables()
         self._stage_tables()
         self._build_kernels()
+
+        # big single-chip domains: the commit path only ever reads the
+        # element-major table; releasing the packed SRS planes returns
+        # ~300 MB of HBM at k=20 (the host copy stays in PlonkParams)
+        if type(self) is DeviceEngine and self._big:
+            self.srs = self._srs_points()
 
     # -- fast witness synthesis ---------------------------------------------
 
@@ -238,13 +252,27 @@ class DeviceEngine:
 
     # -- one-time table construction ----------------------------------------
 
+    # 8n tables at or above this domain size are stored as uint16 limb
+    # planes (the limb VALUES are 16-bit; u32 storage is pure padding) and
+    # the per-pair build/round-3 paths switch to HBM-lean schedules: at
+    # k=20 the u32 8n tables alone are 9.5 GB and the one-shot 16-poly
+    # build transiently needs ~17 GB (measured ResourceExhausted)
+    BIG_N8 = 1 << 22
+
+    @property
+    def _big(self) -> bool:
+        return self.n8 >= self.BIG_N8
+
     def _build_tables(self):
         F, n, n8 = self.F, self.n, self.n8
 
         pn, p8 = self.plan_n, self.plan_8n
+        store = (lambda x: x.astype(jnp.uint16)) if self._big else \
+            (lambda x: x)
 
         @jax.jit
-        def prep(sel_polys, sigma_polys, tw_fwd, tw_inv, s_one, s_ninv):
+        def prep_small(sel_polys, sigma_polys, tw_fwd, tw_inv, s_one,
+                       s_ninv):
             """16 n-degree polys padded to 8n, emitted as 8 PAIRS (the
             8n-NTT working set exceeds HBM for wide batches at k>=19):
             slots 0-10 selectors, 11-14 sigmas, 15 the L1 polynomial.
@@ -261,18 +289,65 @@ class DeviceEngine:
             sig_n = pn._transform(sigma_polys, tw_fwd, s_one, s_one)
             return tuple(pad8[2 * i:2 * i + 2] for i in range(8)), sig_n
 
-        pairs, self.sigma_evals_n = prep(
-            self.sel_polys, self.sigma_polys,
-            pn.tw_fwd, pn.tw_inv, pn.scale_one, pn.scale_n_inv)
-        evs = [p8._kernel(p, p8.tw_fwd, p8.scale_coset, p8.scale_one)
-               for p in pairs]
+        if not self._big:
+            pairs, self.sigma_evals_n = prep_small(
+                self.sel_polys, self.sigma_polys,
+                pn.tw_fwd, pn.tw_inv, pn.scale_one, pn.scale_n_inv)
+            evs = [store(p8._kernel(p, p8.tw_fwd, p8.scale_coset,
+                                    p8.scale_one))
+                   for p in pairs]
+        else:
+            # per-pair build: pad + transform + downcast one (2, L, 8n)
+            # pair at a time (~2.7 GB transient each) instead of holding
+            # the whole 16-poly padded batch + results at once
+            @jax.jit
+            def sig_n_fn(sigma_polys, tw_fwd, s_one):
+                return pn._transform(_u32(sigma_polys), tw_fwd, s_one,
+                                     s_one).astype(jnp.uint16)
 
-        @jax.jit
-        def assemble(evs):
-            all16 = jnp.concatenate(evs, axis=0)
-            return all16[:11], all16[11:15], all16[15]
+            @jax.jit
+            def l1_fn(tw_inv, s_one, s_ninv):
+                e1 = jnp.zeros((F.L, n), jnp.uint32).at[:, 0].set(
+                    F.one_mont[:, 0])
+                return pn._transform(e1, tw_inv, s_one, s_ninv)
 
-        self.sel8, self.sig8, self.l1_8 = assemble(evs)
+            @jax.jit
+            def one_fn(poly, e_fwd, e_coset, e_one):
+                # one (L, 8n) transform at a time: the 2-wide pair build
+                # doubled every in-loop temp and tipped the 16 GB chip
+                pad = jnp.zeros((F.L, n8), jnp.uint32)
+                pad = pad.at[:, :n].set(_u32(poly))
+                return p8._kernel(pad, e_fwd, e_coset,
+                                  e_one).astype(jnp.uint16)
+
+            self.sigma_evals_n = sig_n_fn(self.sigma_polys, pn.tw_fwd,
+                                          pn.scale_one)
+            l1_poly = l1_fn(pn.tw_inv, pn.scale_one, pn.scale_n_inv)
+
+            singles = []
+            for i in range(16):
+                if i < 11:
+                    poly = self.sel_polys[i]
+                elif i < 15:
+                    poly = self.sigma_polys[i - 11]
+                else:
+                    poly = l1_poly
+                ev = one_fn(poly, p8.tw_fwd, p8.scale_coset, p8.scale_one)
+                ev.block_until_ready()   # bound transient HBM residency
+                singles.append(ev)
+
+        if self._big:
+            self.sel8 = jnp.stack(singles[:11])
+            self.sig8 = jnp.stack(singles[11:15])
+            self.l1_8 = singles[15]
+            del singles
+        else:
+            @jax.jit
+            def assemble(evs):
+                all16 = jnp.concatenate(evs, axis=0)
+                return all16[:11], all16[11:15], all16[15]
+
+            self.sel8, self.sig8, self.l1_8 = assemble(evs)
 
         # coset vanishing inverse: (g w8n^i)^n - 1 is periodic with period
         # n8/n (w8n^(n·i) cycles); invert the few distinct values on host
@@ -285,13 +360,13 @@ class DeviceEngine:
             vals.append(pow((cur - 1) % R_MOD, -1, R_MOD))
             cur = cur * w_n % R_MOD
         tile = F.pack(vals)                                # (L, period)
-        self.vh_inv8 = jnp.tile(tile, (1, n8 // period))
+        self.vh_inv8 = store(jnp.tile(tile, (1, n8 // period)))
 
         # linear table X over the coset: g * w8n^i — host-base power tables
         # (a device scan graph took >14 min of remote compile at 2^19)
         w8 = fr_root_of_unity(self.k8)
-        self.lin8 = F.powers_host_base(
-            w8, n8, scale=FR_GENERATOR)
+        self.lin8 = store(F.powers_host_base(
+            w8, n8, scale=FR_GENERATOR))
 
         # domain roots (round 2) and coset K constants
         self.roots_n = F.powers_host_base(fr_root_of_unity(self.k), n)
@@ -351,7 +426,8 @@ class DeviceEngine:
             bx = F.mul(beta, tb["roots_n"])                   # (L, n)
             num = F.add(F.add(wire_vals, F.mul(self.ks, bx)), gamma)
             den = F.add(F.add(wire_vals,
-                              F.mul(beta, tb["sigma_evals_n"])), gamma)
+                              F.mul(beta, _u32(tb["sigma_evals_n"]))),
+                        gamma)
             nprod = F.mul(F.mul(num[0], num[1]), F.mul(num[2], num[3]))
             dprod = F.mul(F.mul(den[0], den[1]), F.mul(den[2], den[3]))
             ratio = F.mul(nprod, self._batch_inv(dprod))
@@ -386,20 +462,40 @@ class DeviceEngine:
         E = self._quotient_chunk_len()
         self.quotient_chunk = E
 
-        def round3b(tb, ev0, ev1, ev2, rolled, ch, start):
+        def round3b(tb, evs6, rolled4, ch, start):
+            """evs6: the 8n-coset evals of (z, a, b, o, d, pi) as six
+            (L, n8[+8]) arrays (+8 wraparound extension when chunked);
+            rolled4: the pre-rolled (z, a, b, d) next-gate arrays in the
+            unchunked (mesh) case, else None."""
+            z8s, a8s, b8s, c8s, d8s, pi8s = evs6
             if E == n8:                    # unchunked (mesh mode: the
                 def sl(x):                 # domain is already sharded)
                     return x
+
+                z_n, a_n, b_n, d_n = rolled4
             else:
+                # chunked: evs arrive EXTENDED by 8 wraparound columns
+                # (concat of the first 8), so the next-gate slice is a
+                # plain offset read — the old pre-rolled full copies
+                # tripled the round-3 working set (3.2 GB at k=20)
                 def sl(x):
                     return jax.lax.dynamic_slice_in_dim(
                         x, start, E, axis=-1)
-            z8, a8 = sl(ev0[0]), sl(ev0[1])
-            b8, c8 = sl(ev1[0]), sl(ev1[1])
-            d8, pi8 = sl(ev2[0]), sl(ev2[1])
-            z_n, a_n = sl(rolled[0][0]), sl(rolled[0][1])
-            b_n, d_n = sl(rolled[1][0]), sl(rolled[2][0])
-            s = {name: sl(tb["sel8"][i])
+
+                def sln(x):
+                    return jax.lax.dynamic_slice_in_dim(
+                        x, start + 8, E, axis=-1)
+
+                z_n, a_n = sln(z8s), sln(a8s)
+                b_n, d_n = sln(b8s), sln(d8s)
+
+            up = _u32
+            z8, a8 = up(sl(z8s)), up(sl(a8s))
+            b8, c8 = up(sl(b8s)), up(sl(c8s))
+            d8, pi8 = up(sl(d8s)), up(sl(pi8s))
+            z_n, a_n = up(z_n), up(a_n)
+            b_n, d_n = up(b_n), up(d_n)
+            s = {name: up(sl(tb["sel8"][i]))
                  for i, name in enumerate(SEL_ORDER)}
 
             t = widgets.arithmetic_quotient(
@@ -417,14 +513,14 @@ class DeviceEngine:
             t = F.add(t, widgets.variable_base_quotient(
                 ops, s["q_variable_group_add"], ch["var_base_sep"],
                 a8, a_n, b8, b_n, c8, d8, d_n))
-            l1_alpha_sq = F.mul(sl(tb["l1_8"]),
+            l1_alpha_sq = F.mul(up(sl(tb["l1_8"])),
                                 F.mul(ch["alpha"], ch["alpha"]))
             sg = tb["sig8"]
             t = F.add(t, widgets.permutation_quotient(
-                ops, sl(tb["lin8"]), sl(sg[0]), sl(sg[1]), sl(sg[2]),
-                sl(sg[3]), a8, b8, c8, d8, z8, z_n,
+                ops, up(sl(tb["lin8"])), up(sl(sg[0])), up(sl(sg[1])),
+                up(sl(sg[2])), up(sl(sg[3])), a8, b8, c8, d8, z8, z_n,
                 ch["alpha"], l1_alpha_sq, ch["beta"], ch["gamma"]))
-            t = F.mul(t, sl(tb["vh_inv8"]))
+            t = F.mul(t, up(sl(tb["vh_inv8"])))
             return t
 
         def roll8(pair):
@@ -433,36 +529,59 @@ class DeviceEngine:
         def concat_t(chunks):
             return jnp.concatenate(chunks, axis=-1)
 
+        def ext8(ev):
+            """+8 wraparound extension (chunked round 3 reads next-gate
+            values at offset start+8 from this instead of a pre-rolled
+            full copy)."""
+            return jnp.concatenate([ev, ev[..., :8]], axis=-1)
+
+        def pad_ext_t8(tb, poly):
+            """(L, w<=n8) coefficients -> extended 8n-coset evals
+            (L, n8+8) stored u16, one poly per dispatch (big-domain
+            round 3; values are canonical-Montgomery 16-bit limbs)."""
+            pad = jnp.zeros((F.L, n8 - poly.shape[-1]), jnp.uint32)
+            full = jnp.concatenate([poly, pad], axis=-1)
+            return ext8(self._t_8n(tb, full,
+                                   "coset_dft")).astype(jnp.uint16)
+
         def round3_pipeline(tb, wire_polys, z_poly, pi_dense, ch):
             """Single-chip FUSED round 3 compute: pad -> 3 pair coset-DFTs
-            -> +8 rolls -> chunked quotient grid (fori_loop reuses the
-            chunk working set) -> coset-iDFT, all in ONE dispatch.  Every
-            host-visible dispatch+fetch cycle costs ~29 ms on the tunneled
-            backend (measured no-op jit), and the decomposed path took 13
-            of them.  ShardedEngine overrides _round3_compute instead
-            (its transforms are shard_map programs issued per call)."""
+            -> chunked quotient grid (fori_loop reuses the chunk working
+            set) -> coset-iDFT, all in ONE dispatch.  Every host-visible
+            dispatch+fetch cycle costs ~29 ms on the tunneled backend
+            (measured no-op jit), and the decomposed path took 13 of
+            them.  ShardedEngine overrides _round3_compute instead (its
+            transforms are shard_map programs issued per call)."""
             p0, p1, p2 = round3(tb, wire_polys, z_poly, pi_dense, ch)
             # ONE ladder instance via lax.scan over the 3 identically-
             # shaped pairs — three inline instances overflow the remote
             # compile service's request-size limit (HTTP 413, measured)
             stacked = jnp.stack([p0, p1, p2])             # (3, 2, L, n8)
 
-            def pair_step(_, pair):
-                ev = self._t_8n(tb, pair, "coset_dft")
-                return None, (ev, roll8(ev))
-
-            _, (evs_s, rolled_s) = jax.lax.scan(pair_step, None, stacked)
-            evs = [evs_s[0], evs_s[1], evs_s[2]]
-            rolled = [rolled_s[0], rolled_s[1], rolled_s[2]]
             if E == n8:
-                t_evals = round3b(tb, evs[0], evs[1], evs[2], rolled,
-                                  ch, jnp.int32(0))
+                def pair_step(_, pair):
+                    ev = self._t_8n(tb, pair, "coset_dft")
+                    return None, (ev, roll8(ev))
+
+                _, (evs_s, rolled_s) = jax.lax.scan(pair_step, None,
+                                                    stacked)
+                evs6 = (evs_s[0][0], evs_s[0][1], evs_s[1][0],
+                        evs_s[1][1], evs_s[2][0], evs_s[2][1])
+                rolled4 = (rolled_s[0][0], rolled_s[0][1],
+                           rolled_s[1][0], rolled_s[2][0])
+                t_evals = round3b(tb, evs6, rolled4, ch, jnp.int32(0))
             else:
+                def pair_step(_, pair):
+                    ev = self._t_8n(tb, pair, "coset_dft")
+                    return None, ext8(ev)
+
+                _, evs_s = jax.lax.scan(pair_step, None, stacked)
+                evs6 = (evs_s[0][0], evs_s[0][1], evs_s[1][0],
+                        evs_s[1][1], evs_s[2][0], evs_s[2][1])
                 acc0 = jnp.zeros((F.L, n8), jnp.uint32)
 
                 def body(c, acc):
-                    t = round3b(tb, evs[0], evs[1], evs[2], rolled,
-                                ch, c * E)
+                    t = round3b(tb, evs6, None, ch, c * E)
                     return jax.lax.dynamic_update_slice_in_dim(
                         acc, t, c * E, axis=-1)
 
@@ -486,11 +605,11 @@ class DeviceEngine:
             powzw = F.powers(zw, ns)
             # at z: a,b,c,d, sigma1..3, q_arith,q_c,q_l,q_r (11 polys)
             sig_pad = jnp.zeros((3, F.L, ns), jnp.uint32).at[:, :, :n].set(
-                tb["sigma_polys"][:3])
+                _u32(tb["sigma_polys"][:3]))
             sel_idx = [SEL_ORDER.index(k)
                        for k in ("q_arith", "q_c", "q_l", "q_r")]
             sel_pad = jnp.zeros((4, F.L, ns), jnp.uint32).at[:, :, :n].set(
-                tb["sel_polys"][jnp.asarray(sel_idx)])
+                _u32(tb["sel_polys"][jnp.asarray(sel_idx)]))
             at_z = jnp.concatenate([wire_polys, sig_pad, sel_pad], axis=0)
             ev_z = F.dot(at_z, powz)                          # (11, L, 1)
             at_zw = jnp.concatenate([wire_polys[jnp.asarray([0, 1, 3])],
@@ -515,9 +634,9 @@ class DeviceEngine:
             srcs = jnp.zeros((12, F.L, ns), jnp.uint32)
             order_idx = [SEL_ORDER.index(k) for k in LIN_ORDER[:10]]
             srcs = srcs.at[:10, :, :n].set(
-                tb["sel_polys"][jnp.asarray(order_idx)])
+                _u32(tb["sel_polys"][jnp.asarray(order_idx)]))
             srcs = srcs.at[10].set(z_poly)
-            srcs = srcs.at[11, :, :n].set(tb["sigma_polys"][3])
+            srcs = srcs.at[11, :, :n].set(_u32(tb["sigma_polys"][3]))
             r = F.sum_reduce(F.mul(srcs, lin_scalars), axis=0)  # (L, ns)
             r_eval = F.dot(r, powz)
             return r, r_eval
@@ -570,6 +689,7 @@ class DeviceEngine:
         kernels = dict(
             _round1=round1, _round2=round2, _round3a=round3,
             _round3b=round3b, _round3c=round3c, _roll8=roll8,
+            _ext8=ext8, _pad_ext_t8=pad_ext_t8,
             _concat_t=concat_t, _round3_pipeline=round3_pipeline,
             _take_row=lambda arr, i: jax.lax.dynamic_index_in_dim(
                 arr, i, 0, keepdims=False),
@@ -629,24 +749,53 @@ class DeviceEngine:
         and the decomposed path takes 13 of them.  Off-TPU (the CPU test
         mesh): the decomposed per-stage jits — the fused graph multiplies
         XLA:CPU compile time on the 1-core host where round-trip latency
-        is irrelevant anyway."""
+        is irrelevant anyway.  Big domains (k >= 19.5) also decompose:
+        the allocator frees buffers BETWEEN dispatches but not inside one
+        program, and the fused graph's transient working set exceeds HBM
+        at k=20."""
         from ..ops.limb import _pallas_wanted
-        if _pallas_wanted():
+        if _pallas_wanted() and not self._big:
             return self._round3_pipeline(
                 tb, wire_polys, z_poly, pi_dense, ch)
         return self._round3_decomposed(
             tb, wire_polys, z_poly, pi_dense, ch)
 
     def _round3_decomposed(self, tb, wire_polys, z_poly, pi_dense, ch):
-        pairs = self._round3a(tb, wire_polys, z_poly, pi_dense, ch)
-        evs = [self._t_8n(tb, p, "coset_dft") for p in pairs]
-        rolled = [self._roll8(e) for e in evs]
         E = self.quotient_chunk
-        t_parts = [self._round3b(tb, evs[0], evs[1], evs[2], rolled,
-                                 ch, np.int32(c * E))
+        if self._big and E != self.n8:   # single-chip big domains only
+            # ONE poly per 8n transform dispatch: the pair-wide transform
+            # transient (~7 GB of in-loop temps) OOMs the 16 GB chip at
+            # k=20 on top of the resident tables
+            pi_poly = self._t_n(tb, pi_dense, "idft")
+            srcs = [z_poly, wire_polys[0], wire_polys[1], wire_polys[2],
+                    wire_polys[3]]
+            evs6 = []
+            for s in srcs:
+                ev = self._pad_ext_t8(tb, s)
+                ev.block_until_ready()
+                evs6.append(ev)
+            evs6.append(self._pad_ext_t8(tb, pi_poly))
+            evs6 = tuple(evs6)
+            rolled = None
+        else:
+            pairs = self._round3a(tb, wire_polys, z_poly, pi_dense, ch)
+            if E == self.n8:
+                ev_pairs = [self._t_8n(tb, p, "coset_dft") for p in pairs]
+                rp = [self._roll8(e) for e in ev_pairs]
+                evs6 = (ev_pairs[0][0], ev_pairs[0][1], ev_pairs[1][0],
+                        ev_pairs[1][1], ev_pairs[2][0], ev_pairs[2][1])
+                rolled = (rp[0][0], rp[0][1], rp[1][0], rp[2][0])
+            else:
+                exts = [self._ext8(self._t_8n(tb, p, "coset_dft"))
+                        for p in pairs]
+                evs6 = (exts[0][0], exts[0][1], exts[1][0], exts[1][1],
+                        exts[2][0], exts[2][1])
+                rolled = None
+        t_parts = [self._round3b(tb, evs6, rolled, ch, np.int32(c * E))
                    for c in range(self.n8 // E)]
         t_evals = t_parts[0] if len(t_parts) == 1 else \
             self._concat_t(t_parts)
+        del evs6, rolled, t_parts    # free ~2 GB before the 8n iDFT (big)
         return self._t_8n(tb, t_evals, "coset_idft")
 
     # -- the proof --------------------------------------------------------------
@@ -685,6 +834,7 @@ class DeviceEngine:
             [fr_random(rng) for _ in range(4 * 2)], shape=(4, 2))
         wire_polys, wire_canon = self._round1(self.tb, wire_vals, blinders1)
         commits = self._commit_batch(wire_canon)
+        del wire_canon            # ~270 MB at 2^20; dead after the fetch
         for label, comm in zip((b"a_w", b"b_w", b"c_w", b"d_w"), commits):
             transcript.append_commitment(label, comm)
         a_comm, b_comm, c_comm, d_comm = commits
@@ -699,6 +849,7 @@ class DeviceEngine:
             self.tb, wire_vals, F.pack_scalar(beta), F.pack_scalar(gamma),
             blinders2)
         z_comm = self._commit(z_canon)
+        del z_canon, wire_vals    # dead past this point
         transcript.append_commitment(b"z", z_comm)
         _mark("round2")
 
@@ -721,6 +872,7 @@ class DeviceEngine:
         t_coeffs = self._round3_compute(
             self.tb, wire_polys, z_poly, pi_dense, ch)
         chunks, chunks_canon, tail_bad = self._round3c(self.tb, t_coeffs)
+        del t_coeffs              # ~540 MB at 2^20
         # dispatch the commit FIRST so the tail_bad fetch (~29 ms round
         # trip) overlaps the MSM's device time; the reference's error
         # still surfaces before any commitment is absorbed

@@ -39,6 +39,9 @@ class TpuPlonkConfig:
                                     # grid machinery costs ~7.4 us per
                                     # program, measured; blocking divides
                                     # that fixed cost by S)
+    ec_scan_em: bool = True         # scan emits element-major output
+                                    # directly (the XLA transpose to that
+                                    # layout cost 41 ms per 2^16 MSM)
 
     # --- quotient grid (proving/engine.py) --------------------------------
     quotient_chunks_large: int = 16  # 8n-domain split when n8 > 2^15
@@ -48,7 +51,9 @@ class TpuPlonkConfig:
     # stacked (k, L, n) per-stage twiddle tables replace the per-stage
     # element gather (15 ms/stage at 2^19, measured) with a contiguous
     # dynamic slice; memory is k*L*n*4B per direction, so gate by k
-    ntt_stacked_max_k: int = 20
+    ntt_stacked_max_k: int = 19     # k=20 would cost 2.7 GB of stacked
+                                    # tables the 2^20 single-chip proof's
+                                    # HBM budget cannot spare
     # four-step NTT with int8 digit-plane matmuls on the MXU (ops/mxu_ntt)
     # for domains at or above this size; None disables.  Default OFF: on
     # v5e the path is bit-exact but measured slightly SLOWER than the

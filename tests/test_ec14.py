@@ -136,3 +136,22 @@ def test_msm_full_14_interpret():
     finally:
         cfgmod.set_config(**{f: getattr(old, f)
                              for f in old.__dataclass_fields__})
+
+
+def test_scan_mixed14_em_layout_matches():
+    """Element-major scan output == stacked output, re-laid-out."""
+    cl, lanes = 4, TILE
+    pts = _rand_points(cl * lanes, 17)
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+
+    def build():
+        gx = _pack(xs, R14 % Q).reshape(24, cl, lanes).transpose(1, 0, 2)
+        gy = _pack(ys, R14 % Q).reshape(24, cl, lanes).transpose(1, 0, 2)
+        return jnp.asarray(np.concatenate([gx, gy], axis=1))
+
+    g = build()
+    psc = np.asarray(pf.ec_scan_mixed14(g, interpret=True))
+    em = np.asarray(pf.ec_scan_mixed14_em(g, interpret=True))
+    assert em.shape == (cl, lanes, 72)
+    np.testing.assert_array_equal(em, psc.transpose(0, 2, 1))

