@@ -154,6 +154,8 @@ def _measure_msm(points=None, plan=None, n=None, out=sys.stdout):
     if points is None:
         n = n or int(os.environ.get("BENCH_N", 1 << 16))
         points = _random_points(n, rng)
+    elif plan is not None:
+        n = plan.n     # points may be a prepared element-major table
     else:
         n = points[0].shape[-1]
     if plan is None:

@@ -377,6 +377,10 @@ class MsmPlan:
             # the element-major scan already emitted this layout
             ps_em = psc_em.reshape(cl * lanes, 3 * L)
         else:
+            # element-major transposed copy (41 ms per 2^16 MSM): both
+            # replacements measured WORSE — a combined fancy gather
+            # regressed the vmapped commit batch 13x, per-limb-row
+            # jnp.take regressed the fused MSM 205 vs 135 ms
             stacked = psc if psc is not None else \
                 jnp.concatenate(ps, axis=1)
             ps_em = jax.lax.optimization_barrier(

@@ -158,6 +158,9 @@ class Proof:
         return cls(evaluations=evals, **fields)
 
     def verify(self, verifier_key, transcript, opening_key, pub_inputs):
+        """pub_inputs: sparse [(gate_index, value)] pairs (the dense
+        reference form carries the same information; only nonzero
+        entries enter the barycentric sum, proof.rs:550-560)."""
         e = self.evaluations
 
         for label, comm in ((b"a_w", self.a_comm), (b"b_w", self.b_comm),
@@ -298,11 +301,12 @@ class Proof:
         return bls.g1_msm(points, weights)
 
 
-def _barycentric_eval(evaluations, point, n, n_inv, generator_inv):
+def _barycentric_eval(sparse_evals, point, n, n_inv, generator_inv):
     """PI(z) via the barycentric formula with batch inversion
-    (reference src/prover/proof.rs:540-591)."""
+    (reference src/prover/proof.rs:540-591); input is sparse
+    [(index, value)] pairs."""
     numerator = (pow(point, n, R_MOD) - 1) % R_MOD * n_inv % R_MOD
-    nz = [(i, ev) for i, ev in enumerate(evaluations) if ev != 0]
+    nz = [(i, ev) for i, ev in sparse_evals if ev != 0]
     denoms = [(pow(generator_inv, i, R_MOD) * point - 1) % R_MOD
               for i, _ in nz]
     denoms = fr_batch_inv(denoms)

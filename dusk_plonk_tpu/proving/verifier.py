@@ -28,8 +28,11 @@ class Verifier:
         for pi in public_inputs:
             transcript.append_scalar(b"pi", pi)
 
-        dense = [0] * self.size
-        for idx, pi in zip(self.public_input_indexes, public_inputs):
-            dense[idx] = pi
-
-        proof.verify(self.verifier_key, transcript, self.opening_key, dense)
+        # sparse (index, value) pairs: the reference densifies then
+        # rayon-filters the n-vector (src/verifier.rs:58-73,
+        # proof.rs:550-560); a Python O(n) walk cost ~6 ms at 2^16 and
+        # ~60 ms at 2^20 per verify — the barycentric sum only ever
+        # touches the nonzero entries, which we know by index
+        sparse = list(zip(self.public_input_indexes, public_inputs))
+        proof.verify(self.verifier_key, transcript, self.opening_key,
+                     sparse)

@@ -39,9 +39,14 @@ class TpuPlonkConfig:
                                     # grid machinery costs ~7.4 us per
                                     # program, measured; blocking divides
                                     # that fixed cost by S)
-    ec_scan_em: bool = True         # scan emits element-major output
-                                    # directly (the XLA transpose to that
-                                    # layout cost 41 ms per 2^16 MSM)
+    ec_scan_em: bool = False        # scan emits element-major output
+                                    # directly (saves the 41 ms/MSM XLA
+                                    # transpose).  Default OFF: the
+                                    # in-kernel (72, T) transpose stalled
+                                    # the Mosaic compile of msm_device
+                                    # >20 min (measured) and round times
+                                    # showed no net win; kernel + test
+                                    # kept for future Mosaic versions
 
     # --- quotient grid (proving/engine.py) --------------------------------
     quotient_chunks_large: int = 16  # 8n-domain split when n8 > 2^15
