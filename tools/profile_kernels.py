@@ -132,7 +132,7 @@ def main():
     print(f"ec_add full (24,{lanes}): {per*1e3:.2f} ms/add")
 
     # MSM phase breakdown at 2^16
-    from dusk_plonk_tpu.ops.msm import msm_plan, NUM_WINDOWS
+    from dusk_plonk_tpu.ops.msm import msm_plan
     plan = msm_plan(N)
     print(f"msm plan: wg={plan.wg} chunk_len={plan.chunk_len} "
           f"n_pad={plan.n_pad}")
@@ -163,7 +163,7 @@ def main():
     # phase: gather
     order_np = np.stack([np.argsort(
         np.asarray(rng.integers(0, 256, plan.n_pad), np.int32),
-        kind="stable") for _ in range(NUM_WINDOWS)])
+        kind="stable") for _ in range(plan.num_windows)])
     order = jnp.asarray(order_np)
 
     @jax.jit
@@ -184,7 +184,7 @@ def main():
     # phase: scan only (chained adds over pre-gathered points)
     cl = plan.chunk_len
     nc = plan.n_pad // cl
-    lanes = NUM_WINDOWS * nc
+    lanes = plan.num_windows * nc
     gx = rand_fq(lanes)
     gy = rand_fq(lanes)
 
