@@ -353,7 +353,10 @@ def _maybe_bench_2e20(k_main, wall0):
               flush=True)
         return
     elapsed = time.perf_counter() - wall0
-    budget = float(os.environ.get("BENCH_2E20_START_BUDGET", 420))
+    # generous: the headline 2^16 line is already on stdout, the remote
+    # compile service's latency varies 2-10x run to run, and the 2^20
+    # measurement is a BASELINE.md done-criterion
+    budget = float(os.environ.get("BENCH_2E20_START_BUDGET", 2400))
     if elapsed > budget:
         print(f"2^20 stage skipped: {elapsed:.0f}s elapsed > {budget:.0f}s "
               "start budget", file=sys.stderr, flush=True)

