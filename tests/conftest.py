@@ -41,14 +41,12 @@ if "xla_force_host_platform_device_count" not in flags:
 if "xla_backend_optimization_level" not in flags:
     flags += (" --xla_backend_optimization_level=0"
               " --xla_llvm_disable_expensive_passes=true")
-# Pin the codegen ISA: without this, XLA:CPU stamps pseudo machine
-# features (+prefer-no-gather/scatter) into its AOT cache entries and the
-# loader then rejects them on this same host — every run recompiled
-# everything.  With the ISA pinned the persistent cache round-trips
-# (measured: 2.3 s -> 0.3 s on a small jit; minutes -> seconds on the
-# mesh-engine programs).
-if "xla_cpu_max_isa" not in flags:
-    flags += " --xla_cpu_max_isa=AVX512"
+# NOTE on the persistent cache: XLA:CPU stamps pseudo machine features
+# (+prefer-no-gather/scatter) into its AOT cache entries and the loader
+# rejects them on this same host, so cross-process caching never engages
+# for the big EC/mesh programs.  Pinning --xla_cpu_max_isa does NOT fix
+# the rejection (measured) and slowed LLVM codegen of the EC graphs —
+# left unset.
 # XLA parses XLA_FLAGS when jaxlib LOADS — and the environment's
 # sitecustomize imports jax at interpreter startup, long before this
 # conftest runs, so mutating os.environ here is a no-op (measured: the
