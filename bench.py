@@ -339,7 +339,27 @@ def bench_proof():
         "vs_baseline": round(baseline / best, 3),
     }), flush=True)
 
+    # release every k=16 device buffer BEFORE the 2^20 engine allocates:
+    # the staged 8n tables + element-major SRS + plan twiddles held here
+    # leave too little of the 16 GB HBM and the stage dies with
+    # RESOURCE_EXHAUSTED (measured on a fresh host, round 5)
+    del engine, prover, verifier, proof, pis
+    _free_device_memory()
     _maybe_bench_2e20(k, wall0)
+
+
+def _free_device_memory():
+    """Drop all live device buffers: plan lru_caches (twiddle/window
+    tables), jitted-executable constant pools, then the Python refs."""
+    import gc
+    import jax
+    from dusk_plonk_tpu.ops.ntt import ntt_plan
+    from dusk_plonk_tpu.ops.msm import msm_plan
+    ntt_plan.cache_clear()
+    msm_plan.cache_clear()
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
 
 
 def _maybe_bench_2e20(k_main, wall0):
